@@ -1,0 +1,6 @@
+from dfvod_tpu.ops.msda import (  # noqa: F401
+    level_start_index,
+    ms_deform_attn,
+    ms_deform_attn_xla,
+    total_tokens,
+)

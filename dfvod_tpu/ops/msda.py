@@ -1,0 +1,147 @@
+"""Multi-scale deformable attention (MSDA) — the framework's core op.
+
+TPU-native replacement for the reference CUDA extension
+(``/root/reference/models/ops/src/cuda/ms_deform_im2col_cuda.cuh:237-299`` and
+the pure-PyTorch oracle ``models/ops/functions/ms_deform_attn_func.py:41-61``).
+
+Semantics (must match the reference kernel contract,
+``models/ops/modules/ms_deform_attn.py:78-117``):
+
+- ``value``               : ``(B, S, M, D)`` with ``S = sum(H_l * W_l)``
+- ``spatial_shapes``      : static tuple ``((H_0, W_0), ...)`` of the L levels
+- ``sampling_locations``  : ``(B, Lq, M, L, P, 2)`` normalized to ``[0, 1]``
+                            in (x, y) order over the *padded* feature map
+- ``attention_weights``   : ``(B, Lq, M, L, P)`` (softmaxed over L*P upstream)
+- output                  : ``(B, Lq, M * D)``
+
+Bilinear sampling uses the ``align_corners=False`` convention of
+``F.grid_sample`` with ``padding_mode='zeros'``: pixel coordinates are
+``loc * size - 0.5`` and any corner that falls outside the map contributes 0.
+
+Design notes (TPU): spatial shapes are *static* under jit, so the level loop
+unrolls at trace time. The XLA path expresses each level's sampling as a
+single batched gather (4 corners fused into one index tensor) followed by an
+fma-reduction over (L, P, corners) — XLA lowers this to dynamic-gather plus
+fused VPU ops. The Pallas path (``msda_pallas.py``) keeps value levels
+resident in VMEM and is used when shapes allow.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def level_start_index(spatial_shapes: Sequence[Tuple[int, int]]) -> np.ndarray:
+    """Start offset of each level inside the flattened token axis."""
+    sizes = [h * w for h, w in spatial_shapes]
+    return np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int32)
+
+
+def total_tokens(spatial_shapes: Sequence[Tuple[int, int]]) -> int:
+    return int(sum(h * w for h, w in spatial_shapes))
+
+
+def _sample_level_xla(value_l, H, W, x, y, attw):
+    """Bilinearly sample one level and apply attention weights.
+
+    value_l: (B, H*W, M, D); x, y: (B, Lq, M, P) pixel coords (already -0.5
+    shifted); attw: (B, Lq, M, P). Returns (B, Lq, M, D) partial sum.
+    """
+    B, Lq, M, P = x.shape
+    D = value_l.shape[-1]
+    compute_dtype = value_l.dtype
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    # Corner offsets (dx, dy) in {0,1}^2; fuse all four corners into one gather.
+    fx = x - x0  # fractional parts
+    fy = y - y0
+    # weights per corner: (1-fx)(1-fy), fx(1-fy), (1-fx)fy, fx*fy
+    wx = jnp.stack([1.0 - fx, fx], axis=-1)          # (B,Lq,M,P,2)
+    wy = jnp.stack([1.0 - fy, fy], axis=-1)          # (B,Lq,M,P,2)
+    w_corner = (wy[..., :, None] * wx[..., None, :]).reshape(B, Lq, M, P, 4)
+
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    cx = jnp.stack([x0i, x0i + 1, x0i, x0i + 1], axis=-1)  # (B,Lq,M,P,4)
+    cy = jnp.stack([y0i, y0i, y0i + 1, y0i + 1], axis=-1)
+    valid = (cx >= 0) & (cx < W) & (cy >= 0) & (cy < H)
+    idx = jnp.clip(cy, 0, H - 1) * W + jnp.clip(cx, 0, W - 1)  # (B,Lq,M,P,4)
+
+    # Fold attention weight and validity into the per-corner weight now so the
+    # post-gather reduction is a single weighted sum.
+    w_total = (w_corner * valid.astype(w_corner.dtype)
+               * attw[..., None]).astype(compute_dtype)       # (B,Lq,M,P,4)
+
+    # Gather: value_l (B, HW, M, D), indices vary over (B, Lq, P, 4, M).
+    idx_g = jnp.transpose(idx, (0, 1, 3, 4, 2))               # (B,Lq,P,4,M)
+    idx_g = idx_g.reshape(B, Lq * P * 4, M, 1)
+    g = jnp.take_along_axis(value_l, idx_g, axis=1)           # (B,Lq*P*4,M,D)
+    g = g.reshape(B, Lq, P, 4, M, D)
+
+    w_g = jnp.transpose(w_total, (0, 1, 3, 4, 2))             # (B,Lq,P,4,M)
+    out = jnp.einsum("blpcm,blpcmd->blmd", w_g, g,
+                     preferred_element_type=compute_dtype)
+    return out
+
+
+def ms_deform_attn_xla(value, spatial_shapes, sampling_locations,
+                       attention_weights):
+    """Pure-XLA MSDA. Correctness oracle + CPU path + autodiff path."""
+    spatial_shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
+    B, S, M, D = value.shape
+    _, Lq, _, L, P, _ = sampling_locations.shape
+    assert S == total_tokens(spatial_shapes), (
+        f"value token axis {S} != sum(H*W) {total_tokens(spatial_shapes)}")
+    assert L == len(spatial_shapes)
+
+    # Coordinate math in >= f32 (f64 when enabled) regardless of value dtype.
+    coord_dtype = jnp.promote_types(sampling_locations.dtype, jnp.float32)
+    loc = sampling_locations.astype(coord_dtype)
+    attw = attention_weights.astype(coord_dtype)
+
+    out = jnp.zeros((B, Lq, M, D), dtype=value.dtype)
+    start = 0
+    for l, (H, W) in enumerate(spatial_shapes):
+        value_l = jax.lax.slice_in_dim(value, start, start + H * W, axis=1)
+        x = loc[:, :, :, l, :, 0] * W - 0.5
+        y = loc[:, :, :, l, :, 1] * H - 0.5
+        out = out + _sample_level_xla(value_l, H, W, x, y,
+                                      attw[:, :, :, l, :])
+        start += H * W
+    return out.reshape(B, Lq, M * D)
+
+
+@functools.partial(jax.jit, static_argnames=("spatial_shapes", "impl"))
+def ms_deform_attn(value, spatial_shapes, sampling_locations,
+                   attention_weights, impl: str = "auto"):
+    """Multi-scale deformable attention.
+
+    Args:
+      value: (B, S, M, D) flattened multi-level features (padding rows must be
+        zeroed by the caller, mirroring ``ms_deform_attn.py:95-96``).
+      spatial_shapes: static tuple of (H, W) per level.
+      sampling_locations: (B, Lq, M, L, P, 2) in [0, 1], xy order.
+      attention_weights: (B, Lq, M, L, P), softmaxed over (L, P).
+      impl: 'auto' | 'xla' | 'pallas'.
+
+    Returns:
+      (B, Lq, M * D)
+    """
+    spatial_shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
+    if impl == "xla":
+        return ms_deform_attn_xla(value, spatial_shapes, sampling_locations,
+                                  attention_weights)
+    if impl in ("auto", "pallas"):
+        from dfvod_tpu.ops import msda_pallas
+        if impl == "pallas" or msda_pallas.supported(
+                value, spatial_shapes, sampling_locations):
+            return msda_pallas.ms_deform_attn_pallas(
+                value, spatial_shapes, sampling_locations, attention_weights)
+        return ms_deform_attn_xla(value, spatial_shapes, sampling_locations,
+                                  attention_weights)
+    raise ValueError(f"unknown impl {impl!r}")
