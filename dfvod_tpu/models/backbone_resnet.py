@@ -1,0 +1,161 @@
+"""ResNet backbone with FrozenBatchNorm — channels-last, XLA-fused.
+
+Functional parity with the reference RGB backbone
+(``models/backbone_scratch.py:31-141``: torchvision ResNet-50 with
+FrozenBatchNorm2d, stage-by-stage forward so fusion hooks can be inserted,
+DC5 dilation on the last stage) re-expressed NHWC for TPU conv layouts.
+
+FrozenBN buffers live in the ``constants`` variable collection, so they are
+untouched by any optimizer over ``params`` — the functional equivalent of
+requires_grad=False buffers.
+
+Convolutions use explicit torch-style padding (not 'SAME') so that converted
+torchvision checkpoints reproduce reference activations exactly.
+"""
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class FrozenBatchNorm(nn.Module):
+    """BN with fixed statistics and affine params (``backbone_scratch.py:31-68``)."""
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        ones = nn.initializers.ones
+        zeros = nn.initializers.zeros
+        w = self.variable("constants", "weight", ones, None,
+                          (self.features,), jnp.float32).value
+        b = self.variable("constants", "bias", zeros, None,
+                          (self.features,), jnp.float32).value
+        rm = self.variable("constants", "running_mean", zeros, None,
+                           (self.features,), jnp.float32).value
+        rv = self.variable("constants", "running_var", ones, None,
+                           (self.features,), jnp.float32).value
+        scale = (w * jax.lax.rsqrt(rv + self.eps)).astype(x.dtype)
+        bias = (b - rm * w * jax.lax.rsqrt(rv + self.eps)).astype(x.dtype)
+        return x * scale[None, None, None, :] + bias[None, None, None, :]
+
+
+def conv(features: int, kernel: int, stride: int = 1, dilation: int = 1,
+         name: Optional[str] = None, use_bias: bool = False) -> nn.Conv:
+    pad = dilation * (kernel - 1) // 2
+    return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
+                   padding=((pad, pad), (pad, pad)),
+                   kernel_dilation=(dilation, dilation),
+                   use_bias=use_bias, name=name,
+                   kernel_init=nn.initializers.he_normal())
+
+
+class Bottleneck(nn.Module):
+    """torchvision Bottleneck block (1x1 -> 3x3 -> 1x1, expansion 4)."""
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    downsample: bool = False
+    norm: Callable = FrozenBatchNorm
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        out = conv(self.planes, 1, name="conv1")(x)
+        out = self.norm(self.planes, name="bn1")(out)
+        out = jax.nn.relu(out)
+        out = conv(self.planes, 3, self.stride, self.dilation,
+                   name="conv2")(out)
+        out = self.norm(self.planes, name="bn2")(out)
+        out = jax.nn.relu(out)
+        out = conv(self.planes * 4, 1, name="conv3")(out)
+        out = self.norm(self.planes * 4, name="bn3")(out)
+        if self.downsample:
+            identity = conv(self.planes * 4, 1, self.stride,
+                            name="downsample_conv")(x)
+            identity = self.norm(self.planes * 4,
+                                 name="downsample_bn")(identity)
+        return jax.nn.relu(out + identity)
+
+
+class ResNetStage(nn.Module):
+    planes: int
+    blocks: int
+    stride: int = 1
+    dilate: bool = False
+    norm: Callable = FrozenBatchNorm
+
+    @nn.compact
+    def __call__(self, x):
+        # torchvision replace_stride_with_dilation: the stage keeps stride 1
+        # and later blocks dilate; the first block uses the *previous*
+        # dilation (=1 for layer4 in DC5 ResNet-50).
+        stride = 1 if self.dilate else self.stride
+        x = Bottleneck(self.planes, stride, 1, downsample=True,
+                       norm=self.norm, name="block_0")(x)
+        dil = self.stride if self.dilate else 1
+        for i in range(1, self.blocks):
+            x = Bottleneck(self.planes, 1, dil, norm=self.norm,
+                           name=f"block_{i}")(x)
+        return x
+
+
+def max_pool_torch(x, window: int, stride: int, pad: int):
+    """Torch-style max pool with explicit symmetric padding."""
+    return nn.max_pool(x, (window, window), strides=(stride, stride),
+                       padding=((pad, pad), (pad, pad)))
+
+
+class ResNet50(nn.Module):
+    """ResNet-50 trunk returning the requested stage outputs.
+
+    ``return_stages``: subset of (1, 2, 3, 4). DC5 (``dilation=True``)
+    replaces layer4's stride with dilation (stride 32 -> 16).
+    """
+    dilation: bool = False
+    return_stages: Sequence[int] = (4,)
+    norm: Callable = FrozenBatchNorm
+
+    @nn.compact
+    def __call__(self, x):
+        outs = {}
+        x = conv(64, 7, 2, name="conv1")(x)
+        x = self.norm(64, name="bn1")(x)
+        x = jax.nn.relu(x)
+        x = max_pool_torch(x, 3, 2, 1)
+        x = ResNetStage(64, 3, 1, name="layer1")(x)
+        if 1 in self.return_stages:
+            outs[1] = x
+        x = ResNetStage(128, 4, 2, name="layer2")(x)
+        if 2 in self.return_stages:
+            outs[2] = x
+        x = ResNetStage(256, 6, 2, name="layer3")(x)
+        if 3 in self.return_stages:
+            outs[3] = x
+        x = ResNetStage(512, 3, 2, dilate=self.dilation, name="layer4")(x)
+        if 4 in self.return_stages:
+            outs[4] = x
+        return outs
+
+
+RESNET50_STAGE_CHANNELS = {1: 256, 2: 512, 3: 1024, 4: 2048}
+
+
+def resnet50_strides(dilation: bool, return_stages: Sequence[int]):
+    strides = {1: 4, 2: 8, 3: 16, 4: 16 if dilation else 32}
+    return [strides[s] for s in return_stages]
+
+
+def downsample_mask(mask, shape: Tuple[int, int]):
+    """Nearest-resize a (B, H, W) bool padding mask to a feature shape.
+
+    Matches ``F.interpolate(mask[None].float(), size=...).bool()`` used
+    throughout the reference backbones.
+    """
+    B = mask.shape[0]
+    out = jax.image.resize(mask.astype(jnp.float32),
+                           (B, shape[0], shape[1]), method="nearest")
+    return out.astype(bool)

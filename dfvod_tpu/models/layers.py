@@ -194,14 +194,17 @@ class FFN(nn.Module):
 
 
 class SingleLinearFFN(nn.Module):
-    """One-linear GELU FFN used by the fusion layers
-    (``deformable_transformer_single.py:372-377``)."""
+    """One-linear FFN used by the fusion layers (GELU in the transformer
+    fusion layers, ``deformable_transformer_single.py:372-377``; ReLU in the
+    backbone cross-fusion layers, ``dformer_crossfusion_backbone.py:150``)."""
     d_model: int
     dropout: float = 0.1
+    activation: str = "gelu"
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
-        h = gelu(dense(self.d_model, name="linear1")(x))
+        h = ACTIVATIONS[self.activation](dense(self.d_model,
+                                               name="linear1")(x))
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         return nn.LayerNorm(name="norm", epsilon=1e-5)(x + h)
 

@@ -95,10 +95,11 @@ def test_gradients_match_numerical(rng):
     value, loc, attw = make_inputs(rng, B=1, M=2, D=3, Lq=4, P=2,
                                    spatial_shapes=shapes, dtype=np.float64)
 
+    @jax.jit
     def f(v, l, a):
         return jnp.sum(jnp.sin(ms_deform_attn_xla(v, shapes, l, a)))
 
-    grads = jax.grad(f, argnums=(0, 1, 2))(value, loc, attw)
+    grads = jax.jit(jax.grad(f, argnums=(0, 1, 2)))(value, loc, attw)
     eps = 1e-6
     for argi, arg in enumerate((value, loc, attw)):
         g = np.asarray(grads[argi])
