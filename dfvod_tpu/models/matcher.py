@@ -1,0 +1,212 @@
+"""Hungarian matcher — focal class cost + L1 + GIoU, solved per image.
+
+Parity target: ``models/matcher.py:45-100``. Two solver backends:
+
+- ``hungarian_lapjv`` (default): exact shortest-augmenting-path assignment
+  solved *on device* inside jit — the TPU-native replacement for the
+  reference's per-step GPU->CPU sync into scipy (``matcher.py:95-99``).
+- ``hungarian_scipy``: the same solve via ``scipy.optimize
+  .linear_sum_assignment`` through ``jax.pure_callback`` (one host
+  round-trip per step for the whole padded batch); used as a test oracle
+  and on runtimes where callbacks exist (the axon TPU client has none).
+
+Targets follow the framework's static padding contract:
+``labels (B, T) int32``, ``boxes (B, T, 4)`` normalized cxcywh,
+``valid (B, T) bool``. The returned assignment is ``(B, T) int32`` — for
+each target slot, the matched query index (arbitrary for invalid slots).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dfvod_tpu.utils.box_ops import box_cxcywh_to_xyxy, generalized_box_iou
+
+BIG_COST = 1e6
+
+
+def matching_cost(pred_logits, pred_boxes, tgt_labels, tgt_boxes, tgt_valid,
+                  cost_class: float = 2.0, cost_bbox: float = 5.0,
+                  cost_giou: float = 2.0, alpha: float = 0.25,
+                  gamma: float = 2.0):
+    """Per-image cost matrix (Q, T); invalid target columns get BIG_COST.
+
+    Mirrors ``matcher.py:77-94``: focal-style class cost, L1 box cost, GIoU.
+    """
+    prob = jax.nn.sigmoid(pred_logits)                       # (Q, K)
+    neg = (1 - alpha) * (prob ** gamma) * (-jnp.log1p(-prob + 1e-8))
+    pos = alpha * ((1 - prob) ** gamma) * (-jnp.log(prob + 1e-8))
+    cls_cost = jnp.take(pos - neg, tgt_labels, axis=1)       # (Q, T)
+
+    bbox_cost = jnp.sum(
+        jnp.abs(pred_boxes[:, None, :] - tgt_boxes[None, :, :]), axis=-1)
+    giou_cost = -generalized_box_iou(box_cxcywh_to_xyxy(pred_boxes),
+                                     box_cxcywh_to_xyxy(tgt_boxes))
+    C = cost_bbox * bbox_cost + cost_class * cls_cost + cost_giou * giou_cost
+    C = jnp.where(tgt_valid[None, :], C, BIG_COST)
+    return C
+
+
+def _scipy_solve_batch(cost: np.ndarray, n_valid: np.ndarray) -> np.ndarray:
+    """Host solver. cost: (B, Q, T); n_valid: (B,). Returns (B, T) query
+    index per target slot (slots >= n_valid arbitrary/0)."""
+    from scipy.optimize import linear_sum_assignment
+
+    B, Q, T = cost.shape
+    out = np.zeros((B, T), np.int32)
+    for b in range(B):
+        t = int(n_valid[b])
+        if t == 0:
+            continue
+        rows, cols = linear_sum_assignment(cost[b, :, :t])
+        out[b, cols] = rows.astype(np.int32)
+    return out
+
+
+@jax.jit
+def hungarian_scipy(cost, tgt_valid):
+    """Exact assignment via a single host callback for the whole batch."""
+    n_valid = jnp.sum(tgt_valid.astype(jnp.int32), axis=-1)
+    B, Q, T = cost.shape
+    return jax.pure_callback(
+        _scipy_solve_batch,
+        jax.ShapeDtypeStruct((B, T), jnp.int32),
+        cost, n_valid, vmap_method="sequential")
+
+
+@jax.jit
+def hungarian_lapjv(cost, tgt_valid):
+    """Exact on-device Hungarian assignment (shortest augmenting path /
+    Jonker-Volgenant, the same algorithm scipy's LSAP uses), vectorized.
+
+    This is the fully jit-resident matcher for TPU: the axon PJRT runtime
+    has no host callbacks, and a host round-trip per step is exactly the
+    GPU->CPU sync the reference suffers (``matcher.py:95-99``) that we want
+    off the step critical path.
+
+    Structure: T sequential Dijkstra phases (T = padded target count, <=64),
+    each a ``while_loop`` of at most T+1 steps whose body is O(Q) vector
+    work (Q = 300 queries) — ~8k tiny vector ops per image, negligible next
+    to the transformer, and it vmaps cleanly over the batch.
+
+    cost: (B, Q, T); invalid target columns may hold any finite value —
+    they are replaced by a constant row so they cannot perturb the valid
+    sub-assignment. Returns (B, T) int32: query index per target slot.
+    """
+    B, Q, T = cost.shape
+    inf = jnp.float32(jnp.inf)
+
+    def solve_one(C_qt, valid):
+        # rows = targets (T), cols = queries (Q); invalid target rows get
+        # uniform zero cost: their assignment is arbitrary and separable,
+        # so the valid rows' sub-assignment stays optimal.
+        C = jnp.where(valid[:, None], C_qt.T.astype(jnp.float32), 0.0)
+
+        def phase(cur_row, state):
+            u, v, row4col, col4row = state
+            shortest = jnp.full((Q,), inf)
+            pred = jnp.zeros((Q,), jnp.int32)
+            scanned_col = jnp.zeros((Q,), bool)
+            scanned_row = jnp.zeros((T,), bool)
+
+            def dijkstra_cond(s):
+                _, _, _, _, _, _, sink, _ = s
+                return sink < 0
+
+            def dijkstra_body(s):
+                (shortest, pred, scanned_col, scanned_row, i, min_val,
+                 sink, j_prev) = s
+                scanned_row = scanned_row.at[i].set(True)
+                r = min_val + C[i] - u[i] - v
+                upd = (~scanned_col) & (r < shortest)
+                shortest = jnp.where(upd, r, shortest)
+                pred = jnp.where(upd, i, pred)
+                masked = jnp.where(scanned_col, inf, shortest)
+                j = jnp.argmin(masked).astype(jnp.int32)
+                min_val = masked[j]
+                scanned_col = scanned_col.at[j].set(True)
+                owner = row4col[j]
+                sink = jnp.where(owner < 0, j, jnp.int32(-1))
+                i = jnp.where(owner < 0, i, owner)
+                return (shortest, pred, scanned_col, scanned_row, i,
+                        min_val, sink, j)
+
+            (shortest, pred, scanned_col, scanned_row, _, min_val, sink,
+             _) = jax.lax.while_loop(
+                dijkstra_cond, dijkstra_body,
+                (shortest, pred, scanned_col, scanned_row, cur_row,
+                 jnp.float32(0.0), jnp.int32(-1), jnp.int32(0)))
+
+            # dual updates
+            is_cur = jnp.arange(T) == cur_row
+            shortest_at_row = shortest[jnp.clip(col4row, 0)]
+            u = u + jnp.where(is_cur, min_val,
+                              jnp.where(scanned_row,
+                                        min_val - shortest_at_row, 0.0))
+            v = v - jnp.where(scanned_col, min_val - shortest, 0.0)
+
+            # augment along the alternating path back from the sink
+            def aug_cond(s):
+                _, _, _, done = s
+                return ~done
+
+            def aug_body(s):
+                j, row4col, col4row, _ = s
+                i = pred[j]
+                row4col = row4col.at[j].set(i)
+                j_next = col4row[i]
+                col4row = col4row.at[i].set(j)
+                return j_next, row4col, col4row, i == cur_row
+
+            _, row4col, col4row, _ = jax.lax.while_loop(
+                aug_cond, aug_body, (sink, row4col, col4row, False))
+            return u, v, row4col, col4row
+
+        u = jnp.zeros((T,), jnp.float32)
+        v = jnp.zeros((Q,), jnp.float32)
+        row4col = jnp.full((Q,), -1, jnp.int32)
+        col4row = jnp.full((T,), -1, jnp.int32)
+        _, _, _, col4row = jax.lax.fori_loop(
+            0, T, phase, (u, v, row4col, col4row))
+        return col4row
+
+    return jax.vmap(solve_one)(cost, tgt_valid)
+
+
+def callbacks_supported() -> bool:
+    """The axon TPU PJRT client does not implement host send/recv, so
+    ``pure_callback`` (and therefore the scipy backend) is unavailable when
+    running on it."""
+    import jax.extend.backend
+    return jax.extend.backend.get_backend().platform != "axon"
+
+
+def match(outputs, targets, loss_cfg, backend: str = "auto"):
+    """Batched matching. outputs: dict with pred_logits (B,Q,K), pred_boxes
+    (B,Q,4); targets: dict with labels (B,T), boxes (B,T,4), valid (B,T).
+
+    backend 'auto' = the exact on-device LAPJV solver (default everywhere —
+    no host round-trips). 'scipy' keeps the host-callback oracle for
+    cross-checking on runtimes that support callbacks.
+
+    Returns (B, T) int32 query index per target slot.
+    """
+    if backend == "auto":
+        backend = "lapjv"
+    cost = jax.vmap(
+        lambda lg, bx, tl, tb, tv: matching_cost(
+            lg, bx, tl, tb, tv,
+            loss_cfg.set_cost_class, loss_cfg.set_cost_bbox,
+            loss_cfg.set_cost_giou))(
+        outputs["pred_logits"], outputs["pred_boxes"],
+        targets["labels"], targets["boxes"], targets["valid"])
+    cost = jax.lax.stop_gradient(cost)
+    if backend == "scipy":
+        return hungarian_scipy(cost, targets["valid"])
+    elif backend == "lapjv":
+        return hungarian_lapjv(cost, targets["valid"])
+    raise ValueError(backend)

@@ -1,0 +1,204 @@
+"""Matcher + criterion parity tests against torch-based reference math."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dfvod_tpu.models.matcher import (
+    hungarian_lapjv,
+    hungarian_scipy,
+    match,
+    matching_cost,
+)
+from dfvod_tpu.models.criterion import (
+    SetCriterion,
+    modified_sigmoid_focal_loss,
+    sigmoid_focal_loss,
+)
+from dfvod_tpu.models.postprocess import postprocess
+from dfvod_tpu.utils.box_ops import box_cxcywh_to_xyxy, generalized_box_iou
+from dfvod_tpu.utils.config import LossConfig
+
+
+def random_problem(rng, B=2, Q=20, T=6, K=3, n_valid=(4, 6)):
+    logits = rng.standard_normal((B, Q, K)).astype(np.float32)
+    boxes = rng.random((B, Q, 4)).astype(np.float32) * 0.4 + 0.1
+    tl = rng.integers(0, K, (B, T)).astype(np.int32)
+    tb = (rng.random((B, T, 4)).astype(np.float32) * 0.4 + 0.1)
+    valid = np.zeros((B, T), bool)
+    for b in range(B):
+        valid[b, :n_valid[b]] = True
+    outputs = {"pred_logits": jnp.asarray(logits),
+               "pred_boxes": jnp.asarray(boxes)}
+    targets = {"labels": jnp.asarray(tl), "boxes": jnp.asarray(tb),
+               "valid": jnp.asarray(valid)}
+    return outputs, targets
+
+
+def reference_cost_np(logits, boxes, tl, tb, cc=2.0, cb=5.0, cg=2.0):
+    """Reference cost matrix math (``matcher.py:77-94``) in numpy."""
+    prob = 1 / (1 + np.exp(-logits))
+    alpha, gamma = 0.25, 2.0
+    neg = (1 - alpha) * (prob ** gamma) * (-np.log(1 - prob + 1e-8))
+    pos = alpha * ((1 - prob) ** gamma) * (-np.log(prob + 1e-8))
+    cls_cost = pos[:, tl] - neg[:, tl]
+    bbox_cost = np.abs(boxes[:, None] - tb[None]).sum(-1)
+    giou = np.asarray(generalized_box_iou(
+        box_cxcywh_to_xyxy(jnp.asarray(boxes)),
+        box_cxcywh_to_xyxy(jnp.asarray(tb))))
+    return cb * bbox_cost + cc * cls_cost + cg * (-giou)
+
+
+def test_matching_cost_matches_reference(rng):
+    outputs, targets = random_problem(rng)
+    lg = np.asarray(outputs["pred_logits"][0])
+    bx = np.asarray(outputs["pred_boxes"][0])
+    tl = np.asarray(targets["labels"][0])
+    tb = np.asarray(targets["boxes"][0])
+    C = matching_cost(outputs["pred_logits"][0], outputs["pred_boxes"][0],
+                      targets["labels"][0], targets["boxes"][0],
+                      targets["valid"][0])
+    expected = reference_cost_np(lg, bx, tl, tb, cc=1.0, cb=1.0, cg=1.0)
+    # default weights in matching_cost are (2, 5, 2)
+    expected = reference_cost_np(lg, bx, tl, tb)
+    nv = int(targets["valid"][0].sum())
+    np.testing.assert_allclose(np.asarray(C)[:, :nv], expected[:, :nv],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_scipy_match_is_optimal(rng):
+    from scipy.optimize import linear_sum_assignment
+    outputs, targets = random_problem(rng)
+    assign = np.asarray(match(outputs, targets, LossConfig(),
+                              backend="scipy"))
+    for b in range(2):
+        nv = int(targets["valid"][b].sum())
+        C = np.asarray(matching_cost(
+            outputs["pred_logits"][b], outputs["pred_boxes"][b],
+            targets["labels"][b], targets["boxes"][b],
+            targets["valid"][b]))[:, :nv]
+        rows, cols = linear_sum_assignment(C)
+        expected = np.zeros(nv, np.int32)
+        expected[cols] = rows
+        np.testing.assert_array_equal(assign[b, :nv], expected)
+
+
+def test_lapjv_matches_scipy_exactly(rng):
+    """On-device LAPJV must reach the scipy optimum (equal total cost)."""
+    from scipy.optimize import linear_sum_assignment
+    outputs, targets = random_problem(rng, B=3, Q=30, T=8,
+                                      n_valid=(5, 8, 2))
+    cost = jax.vmap(lambda lg, bx, tl, tb, tv: matching_cost(
+        lg, bx, tl, tb, tv))(
+        outputs["pred_logits"], outputs["pred_boxes"],
+        targets["labels"], targets["boxes"], targets["valid"])
+    assign = np.asarray(hungarian_lapjv(cost, targets["valid"]))
+    for b in range(3):
+        nv = int(np.asarray(targets["valid"][b]).sum())
+        C = np.asarray(cost[b])[:, :nv].astype(np.float64)
+        a = assign[b, :nv]
+        assert len(set(a.tolist())) == nv  # valid permutation
+        total = C[a, np.arange(nv)].sum()
+        rows, cols = linear_sum_assignment(C)
+        opt = C[rows, cols].sum()
+        np.testing.assert_allclose(total, opt, rtol=1e-5)
+
+
+def test_lapjv_many_random_exact(rng):
+    """Fuzz LAPJV against scipy on raw random cost matrices."""
+    from scipy.optimize import linear_sum_assignment
+    for trial in range(10):
+        Q = int(rng.integers(8, 40))
+        T = int(rng.integers(1, min(Q, 12)))
+        nv = int(rng.integers(1, T + 1))
+        C = rng.standard_normal((1, Q, T)).astype(np.float32) * 5
+        valid = np.zeros((1, T), bool)
+        valid[0, :nv] = True
+        a = np.asarray(hungarian_lapjv(jnp.asarray(C),
+                                       jnp.asarray(valid)))[0, :nv]
+        Cv = C[0, :, :nv].astype(np.float64)
+        rows, cols = linear_sum_assignment(Cv)
+        opt = Cv[rows, cols].sum()
+        total = Cv[a, np.arange(nv)].sum()
+        np.testing.assert_allclose(total, opt, rtol=1e-5,
+                                   err_msg=f"trial {trial} Q={Q} T={T}")
+
+
+def torch_modified_focal(logits, targets_onehot, num_boxes):
+    import torch
+    import torch.nn.functional as F
+    inputs = torch.from_numpy(logits).clone()
+    targets = torch.from_numpy(targets_onehot).clone()
+    prob = inputs.sigmoid()
+    targets[..., 2] = (targets[..., 1] != 1).float()
+    ce = F.binary_cross_entropy_with_logits(inputs, targets,
+                                            reduction="none")
+    p_t = prob * targets + (1 - prob) * (1 - targets)
+    loss = ce * ((1 - p_t) ** 2)
+    alpha = torch.tensor([0.0, 1.0, 0.001])[None, None, :]
+    loss = alpha * loss
+    return float(loss.mean(1).sum() / num_boxes)
+
+
+def test_modified_focal_parity(rng):
+    B, Q, K = 2, 10, 3
+    logits = rng.standard_normal((B, Q, K)).astype(np.float32)
+    tgt = np.zeros((B, Q, K), np.float32)
+    tgt[0, 3, 1] = 1
+    tgt[1, 7, 0] = 1
+    got = float(modified_sigmoid_focal_loss(jnp.asarray(logits),
+                                            jnp.asarray(tgt), 4.0))
+    expected = torch_modified_focal(logits, tgt, 4.0)
+    np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+
+def test_criterion_runs_and_is_finite(rng):
+    outputs, targets = random_problem(rng)
+    outputs["aux_outputs"] = [
+        {"pred_logits": outputs["pred_logits"] * 0.9,
+         "pred_boxes": outputs["pred_boxes"]}]
+    crit = SetCriterion(3, LossConfig(), dec_layers=2)
+    total, parts = crit(outputs, targets)
+    assert np.isfinite(float(total))
+    for k in ("loss_ce", "loss_bbox", "loss_giou", "loss_ce_0"):
+        assert k in parts and np.isfinite(float(parts[k])), k
+
+
+def test_criterion_grad_flows(rng):
+    outputs, targets = random_problem(rng, B=1)
+    crit = SetCriterion(3, LossConfig(), dec_layers=1)
+
+    def loss_fn(logits, boxes):
+        total, _ = crit({"pred_logits": logits, "pred_boxes": boxes},
+                        targets)
+        return total
+
+    g1, g2 = jax.grad(loss_fn, argnums=(0, 1))(outputs["pred_logits"],
+                                               outputs["pred_boxes"])
+    assert np.isfinite(np.asarray(g1)).all()
+    assert np.isfinite(np.asarray(g2)).all()
+    assert np.abs(np.asarray(g2)).sum() > 0
+
+
+def test_postprocess_matches_reference_semantics(rng):
+    B, Q, K = 2, 12, 3
+    logits = rng.standard_normal((B, Q, K)).astype(np.float32)
+    boxes = rng.random((B, Q, 4)).astype(np.float32) * 0.5 + 0.2
+    sizes = np.array([[480, 640], [600, 800]], np.float32)
+    res = postprocess(jnp.asarray(logits), jnp.asarray(boxes),
+                      jnp.asarray(sizes), top_k=5)
+    prob = 1 / (1 + np.exp(-logits))
+    for b in range(B):
+        flat = prob[b].reshape(-1)
+        order = np.argsort(-flat)[:5]
+        np.testing.assert_allclose(np.asarray(res["scores"][b]),
+                                   flat[order], rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(res["labels"][b]),
+                                      order % K)
+        qi = order // K
+        exp_boxes = np.asarray(box_cxcywh_to_xyxy(jnp.asarray(boxes[b][qi])))
+        exp_boxes = exp_boxes * np.array([sizes[b][1], sizes[b][0],
+                                          sizes[b][1], sizes[b][0]])
+        np.testing.assert_allclose(np.asarray(res["boxes"][b]), exp_boxes,
+                                   rtol=1e-5)
