@@ -1,0 +1,192 @@
+"""RGB-D COCO datasets — single-frame and video (clip) variants.
+
+Parity targets: ``datasets/torchvision_datasets/coco.py`` (paired RGB +
+depth loading with the ``images -> depth_pred`` path substitution and
+per-image min-max depth normalization), ``datasets/vid_single.py`` (target
+prep + transforms + 4-channel concat) and ``datasets/vid_multi.py``
+(reference-frame sampling: train = nearest +-num_ref_frames id window
+excluding the key frame, eval = one-sided stride ``max(len//16, 1)``
+sampling; still images with ``video_id == -1`` replicate the key frame).
+"""
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence
+
+import numpy as np
+from PIL import Image
+
+from dfvod_tpu.data.coco import COCO, CocoVID
+from dfvod_tpu.data.transforms import (
+    EvalTransform,
+    Sample,
+    TrainTransform,
+)
+
+
+def load_depth(path: str) -> np.ndarray:
+    """Reference ``get_depth`` (``torchvision_datasets/coco.py:75-105``):
+    read unchanged, reject 3-channel, min-max normalize to uint8."""
+    import cv2
+    depth = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    if depth is None:
+        raise FileNotFoundError(path)
+    if depth.ndim == 3:
+        raise ValueError(f"depth image has {depth.shape[-1]} channels: "
+                         f"{path} (expected single-channel)")
+    d = depth.astype(np.float32)
+    rng = d.max() - d.min()
+    if rng > 0:
+        d = (d - d.min()) / rng
+    else:
+        d = np.zeros_like(d)
+    return (d * 255).astype(np.uint8)
+
+
+def depth_path_for(image_path: str) -> str:
+    """``images -> depth_pred`` substitution
+    (``torchvision_datasets/coco.py:84``)."""
+    return image_path.replace("images", "depth_pred")
+
+
+def prepare_targets(anns: List[dict], h: int, w: int):
+    """``ConvertCocoPolysToMask`` semantics (``vid_single.py:65-127``):
+    xywh -> xyxy, clamp to image, drop crowd + degenerate boxes."""
+    anns = [a for a in anns if a.get("iscrowd", 0) == 0]
+    boxes = np.array([a["bbox"] for a in anns],
+                     np.float32).reshape(-1, 4)
+    boxes[:, 2:] += boxes[:, :2]
+    boxes[:, 0::2] = boxes[:, 0::2].clip(0, w)
+    boxes[:, 1::2] = boxes[:, 1::2].clip(0, h)
+    labels = np.array([a["category_id"] for a in anns], np.int64)
+    keep = (boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1])
+    return boxes[keep], labels[keep]
+
+
+class CocoDetectionDataset:
+    """Single-frame dataset. ``__getitem__`` returns a list with one
+    ``Sample`` (clip of length 1) — the video dataset returns longer clips
+    through the same interface."""
+
+    def __init__(self, img_folder: str, ann_file: str, *,
+                 use_depth: bool = False, train: bool = True,
+                 depth_folder: Optional[str] = None):
+        self.root = img_folder
+        self.coco = COCO(ann_file)
+        self.ids = sorted(self.coco.imgs)
+        self.use_depth = use_depth
+        self.train = train
+        self.depth_folder = depth_folder
+
+    def __len__(self):
+        return len(self.ids)
+
+    def _load_frame(self, img_id: int) -> Sample:
+        info = self.coco.loadImgs(img_id)[0]
+        path = os.path.join(self.root, info["file_name"])
+        rgb = np.asarray(Image.open(path).convert("RGB"))
+        depth = None
+        if self.use_depth:
+            dpath = (os.path.join(self.depth_folder, info["file_name"])
+                     if self.depth_folder else depth_path_for(path))
+            depth = load_depth(dpath)
+        h, w = rgb.shape[:2]
+        anns = self.coco.imgToAnns[img_id]
+        boxes, labels = prepare_targets(anns, h, w)
+        return Sample(rgb=rgb, depth=depth, boxes=boxes, labels=labels,
+                      image_id=img_id, orig_size=(h, w))
+
+    def __getitem__(self, index: int) -> List[Sample]:
+        return [self._load_frame(self.ids[index])]
+
+
+class CocoVideoDataset(CocoDetectionDataset):
+    """Video dataset: key frame + ``num_ref_frames`` reference frames.
+
+    Reproduces the reference's id-arithmetic sampling exactly
+    (``vid_multi.py:74-125``) including its assumption of contiguous image
+    ids within a video.
+    """
+
+    def __init__(self, img_folder: str, ann_file: str, *,
+                 num_ref_frames: int = 3, use_depth: bool = False,
+                 train: bool = True, depth_folder: Optional[str] = None,
+                 filter_key_img: bool = True):
+        super().__init__(img_folder, ann_file, use_depth=use_depth,
+                         train=train, depth_folder=depth_folder)
+        self.coco = CocoVID(ann_file)
+        self.ids = sorted(self.coco.imgs)
+        self.num_ref_frames = num_ref_frames
+        self.filter_key_img = filter_key_img
+
+    def _ref_ids(self, img_id: int) -> List[int]:
+        video_id = self.coco.imgs[img_id].get("video_id", -1)
+        if video_id == -1:
+            return [img_id] * self.num_ref_frames
+        img_ids = self.coco.get_img_ids_from_vid(video_id)
+        if self.train:
+            interval = self.num_ref_frames
+            left = max(img_ids[0], img_id - interval)
+            right = min(img_ids[-1], img_id + interval)
+            sample_range = list(range(left, right + 1))
+            if self.filter_key_img and img_id in sample_range:
+                sample_range.remove(img_id)
+            while 0 < len(sample_range) < self.num_ref_frames:
+                sample_range.extend(sample_range)
+            return sample_range[:self.num_ref_frames] or \
+                [img_id] * self.num_ref_frames
+        # eval: one-sided strided sampling (``vid_multi.py:108-125``)
+        interval = max(len(img_ids) // 16, 1)
+        left_index = (img_id - img_ids[0]) // interval
+        refs = []
+        if left_index < self.num_ref_frames:
+            for i in range(self.num_ref_frames):
+                refs.append(min(img_id + (i + 1) * interval, img_ids[-1]))
+        else:
+            for i in range(self.num_ref_frames):
+                refs.append(max(img_id - (i + 1) * interval, img_ids[0]))
+        if self.filter_key_img and img_id in refs:
+            refs.remove(img_id)
+        while 0 < len(refs) < self.num_ref_frames:
+            refs.extend(refs)
+        return refs[:self.num_ref_frames] or [img_id] * self.num_ref_frames
+
+    def __getitem__(self, index: int) -> List[Sample]:
+        key = self.ids[index]
+        frames = [self._load_frame(key)]
+        for rid in self._ref_ids(key):
+            if rid in self.coco.imgs:
+                frames.append(self._load_frame(rid))
+            else:  # id gap: fall back to the key frame
+                frames.append(frames[0])
+        return frames
+
+
+def build_dataset(image_set: str, cfg, temporal: bool = False):
+    """``datasets/__init__.py:28-42`` equivalent: resolve the reference's
+    hard-coded path layout under ``coco_path``."""
+    data = cfg.data
+    root = data.coco_path
+    paths = {
+        "train": (os.path.join(root, "coco", "images"),
+                  os.path.join(root, "coco", "annotations", "train.json")),
+        "val": (os.path.join(root, "coco", "images"),
+                os.path.join(root, "coco", "annotations", "val.json")),
+    }
+    img_folder, ann_file = paths[image_set]
+    train = image_set == "train"
+    if temporal:
+        return CocoVideoDataset(
+            img_folder, ann_file, num_ref_frames=data.num_ref_frames,
+            use_depth=data.use_depth, train=train)
+    return CocoDetectionDataset(img_folder, ann_file,
+                                use_depth=data.use_depth, train=train)
+
+
+def make_transform(train: bool, cfg):
+    data = cfg.data
+    if train:
+        return TrainTransform(short_sides=data.train_short_sides,
+                              max_size=data.max_size)
+    return EvalTransform(short_side=data.eval_short_side,
+                         max_size=data.max_size)

@@ -1,0 +1,137 @@
+"""Host loader — batching, static-shape collation, double-buffered device
+transfer.
+
+Replaces the reference's DataLoader + CUDA-stream prefetchers
+(``datasets/data_prefetcher_single.py``, ``data_prefetcher_multi.py``) and
+its NestedTensor collate (``util/misc.py:304-381``): a thread prefetches and
+collates the next batch while the device computes, then ``device_put``s it
+(sharded over the mesh's data axis when one is given) so the H2D copy
+overlaps compute — the TPU equivalent of the side-stream copy.
+
+Clip semantics match ``util/misc_multi.py:304-340``: a clip of (1 + N)
+frames is split into per-frame images so the batch dim is
+``B * (1 + num_ref_frames)`` frames, key frames first within each clip
+group (frame order [key, ref1, ..., refN] preserved).
+
+Multi-host sharding follows the reference's ``DistributedSampler``
+contiguous-shard split (``datasets/samplers.py:48-66``): each process takes
+``rank * num_samples`` onward, after padding to a multiple of world size.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+from dfvod_tpu.data.transforms import bucket_shape, normalize_and_pad
+
+
+def shard_indices(n: int, rank: int, world: int, *, shuffle: bool,
+                  seed: int, epoch: int) -> np.ndarray:
+    """Pad-to-even then contiguous shard (``samplers.py:48-66``)."""
+    if shuffle:
+        g = np.random.default_rng(seed + epoch)
+        order = g.permutation(n)
+    else:
+        order = np.arange(n)
+    num = -(-n // world)  # ceil
+    order = np.concatenate([order, order[: num * world - n]])
+    return order[rank * num:(rank + 1) * num]
+
+
+class Loader:
+    """Iterable over device-ready batches.
+
+    batch dict: image (B', H, W, C), mask (B', H, W), labels (B', T),
+    boxes (B', T, 4), valid (B', T), image_id (B',), size/orig_size (B', 2)
+    where B' = batch_size * clip_len frames.
+    """
+
+    def __init__(self, dataset, transform, *, batch_size: int,
+                 max_boxes: int = 64, use_depth: bool = False,
+                 shuffle: bool = True, seed: int = 42,
+                 rank: int = 0, world: int = 1,
+                 mesh=None, clip_parallel: bool = False,
+                 drop_last: bool = False, prefetch: int = 2,
+                 bucket_step: int = 128, pad_cap: int = 1344):
+        self.dataset = dataset
+        self.transform = transform
+        self.batch_size = batch_size
+        self.max_boxes = max_boxes
+        self.use_depth = use_depth
+        self.shuffle = shuffle
+        self.seed = seed
+        self.rank, self.world = rank, world
+        self.mesh = mesh
+        self.clip_parallel = clip_parallel
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.bucket_step = bucket_step
+        self.pad_cap = pad_cap
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __len__(self):
+        per_rank = -(-len(self.dataset) // self.world)
+        if self.drop_last:
+            return per_rank // self.batch_size
+        return -(-per_rank // self.batch_size)
+
+    def _collate(self, clips: List[List], rng) -> dict:
+        frames = []
+        for clip in clips:
+            frames.extend(self.transform(clip, rng))
+        # one static bucket per batch: the max over frames, bucketed
+        hs = [f.rgb.shape[0] for f in frames]
+        ws = [f.rgb.shape[1] for f in frames]
+        ph, pw = bucket_shape(max(hs), max(ws), self.bucket_step,
+                              self.pad_cap)
+        cols = [normalize_and_pad(f, (ph, pw), self.use_depth,
+                                  self.max_boxes) for f in frames]
+        batch = {k: np.stack([c[k] for c in cols]) for k in cols[0]}
+        return batch
+
+    def _device_put(self, batch: dict) -> dict:
+        if self.mesh is None:
+            return batch
+        from dfvod_tpu.parallel import shard_batch
+        return shard_batch(batch, self.mesh, self.clip_parallel)
+
+    def _host_batches(self) -> Iterator[dict]:
+        idx = shard_indices(len(self.dataset), self.rank, self.world,
+                            shuffle=self.shuffle, seed=self.seed,
+                            epoch=self.epoch)
+        rng = np.random.default_rng(
+            (self.seed, self.epoch, self.rank))
+        for i in range(0, len(idx), self.batch_size):
+            chunk = idx[i:i + self.batch_size]
+            if self.drop_last and len(chunk) < self.batch_size:
+                return
+            # pad the final short batch by wrapping (keeps static shapes)
+            if len(chunk) < self.batch_size:
+                chunk = np.concatenate(
+                    [chunk, idx[: self.batch_size - len(chunk)]])
+            yield self._collate([self.dataset[int(j)] for j in chunk], rng)
+
+    def __iter__(self) -> Iterator[dict]:
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def worker():
+            try:
+                for b in self._host_batches():
+                    q.put(b)
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            b = q.get()
+            if b is stop:
+                return
+            yield self._device_put(b)

@@ -73,7 +73,7 @@ def _bce_with_logits(logits, targets):
 class SetCriterion:
     """Functional criterion; call with model outputs + padded targets."""
 
-    def __init__(self, num_classes: int, loss_cfg, matcher_backend="scipy",
+    def __init__(self, num_classes: int, loss_cfg, matcher_backend="auto",
                  dec_layers: int = 6):
         self.num_classes = num_classes
         self.loss_cfg = loss_cfg

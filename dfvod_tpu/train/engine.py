@@ -1,0 +1,142 @@
+"""Train/eval steps — the jitted core of ``engine_single.py`` /
+``engine_multi.py``.
+
+One ``train_step`` is a single XLA program: forward -> criterion (with the
+on-device LAPJV Hungarian matcher, so no per-step host round-trip — the
+reference syncs GPU->CPU at scipy every step, ``matcher.py:95-99``) ->
+grads -> global clip -> per-group AdamW update. Batches arrive sharded over
+the mesh's ``data`` axis; parameters are replicated, so XLA inserts the
+gradient all-reduce that DDP performed with NCCL (``main.py:439-443``).
+
+The NaN hard-exit (``engine_single.py:56-59``) lives in the host epoch loop
+(``dfvod_tpu/cli/main.py``), where the loss scalar is already needed for
+logging.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dfvod_tpu.train.optim import build_optimizer
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any        # trainable ("params" collection)
+    model_state: Any   # non-trainable: FrozenBN "constants", DFormer
+                       # "batch_stats" (running stats updated in training)
+    opt_state: Any
+
+    @property
+    def variables(self):
+        return {"params": self.params, **self.model_state}
+
+
+def create_train_state(rng, model, cfg, sample_batch,
+                       steps_per_epoch: int = 1000):
+    """Initialize params + optimizer. Returns (state, tx, labels)."""
+    init = jax.jit(lambda r, x, m: model.init(r, x, m, train=False))
+    variables = init(rng, sample_batch["images"], sample_batch["mask"])
+    variables = dict(variables)
+    params = variables.pop("params")
+    tx, labels = build_optimizer(params, cfg.model, cfg.train,
+                                 steps_per_epoch)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       model_state=variables, opt_state=tx.init(params))
+    return state, tx, labels
+
+
+def make_train_step(model, criterion, tx, mesh: Optional[Mesh] = None,
+                    donate: bool = True):
+    """Build the jitted train step.
+
+    batch: dict with images (B,H,W,C), mask (B,H,W) bool,
+    labels (B,T) int32, boxes (B,T,4) cxcywh in [0,1], valid (B,T) bool.
+    """
+
+    def step_fn(state: TrainState, batch: Dict, dropout_rng):
+        rng = jax.random.fold_in(dropout_rng, state.step)
+
+        has_bn = "batch_stats" in state.model_state
+
+        def loss_fn(params):
+            variables = {"params": params, **state.model_state}
+            if has_bn:
+                out, mut = model.apply(
+                    variables, batch["images"], batch["mask"], train=True,
+                    rngs={"dropout": rng}, mutable=["batch_stats"])
+            else:
+                out = model.apply(variables, batch["images"], batch["mask"],
+                                  train=True, rngs={"dropout": rng})
+                mut = {}
+            targets = {"labels": batch["labels"], "boxes": batch["boxes"],
+                       "valid": batch["valid"]}
+            total, parts = criterion(out, targets)
+            return total, (parts, mut)
+
+        (loss, (parts, mut)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree_util.tree_map(
+            lambda p, u: p + u.astype(p.dtype),
+            state.params, updates)
+        model_state = {**state.model_state,
+                       **jax.tree_util.tree_map(jax.lax.stop_gradient, mut)}
+        new_state = TrainState(step=state.step + 1, params=params,
+                               model_state=model_state, opt_state=opt_state)
+        metrics = {"loss": loss,
+                   "grad_norm": optax_global_norm(grads)}
+        metrics.update({k: v for k, v in parts.items()})
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+
+    def batch_shardings(batch):
+        return {k: NamedSharding(mesh, P("data", *([None] * (v.ndim - 1))))
+                for k, v in batch.items()}
+
+    def jitted(state, batch, rng):
+        in_sh = (repl, batch_shardings(batch), repl)
+        f = jax.jit(step_fn, in_shardings=in_sh,
+                    out_shardings=(repl, repl),
+                    donate_argnums=(0,) if donate else ())
+        return f(state, batch, rng)
+
+    return jitted
+
+
+def optax_global_norm(tree):
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))
+
+
+def make_eval_step(model, mesh: Optional[Mesh] = None):
+    """Jitted forward + raw top-k postprocess inputs. Host side finishes
+    with ``postprocess`` + COCO accumulation (``engine_single.py:81-165``)."""
+
+    def fwd(variables, images, mask):
+        out = model.apply(variables, images, mask, train=False)
+        return {"pred_logits": out["pred_logits"],
+                "pred_boxes": out["pred_boxes"]}
+
+    if mesh is None:
+        return jax.jit(fwd)
+
+    repl = NamedSharding(mesh, P())
+
+    def jitted(variables, images, mask):
+        dsh = NamedSharding(mesh, P("data", *([None] * (images.ndim - 1))))
+        msh = NamedSharding(mesh, P("data", *([None] * (mask.ndim - 1))))
+        f = jax.jit(fwd, in_shardings=(repl, dsh, msh))
+        return f(variables, images, mask)
+
+    return jitted
