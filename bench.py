@@ -38,9 +38,6 @@ def bench_forward(model, variables, images, mask, iters=30, warmup=5):
 
 
 def main():
-    cfg = Config(model=ModelConfig(use_depth=True, fusion_type="LateFusion",
-                                   compute_dtype="bfloat16"))
-    model, _, _ = build_model(cfg)
     rng = np.random.default_rng(0)
     H, W = 608, 800  # short-side-600 eval bucket (vid_single.py:152)
 
@@ -48,12 +45,26 @@ def main():
         images = jnp.asarray(rng.standard_normal((b, H, W, 4)), jnp.float32)
         return images, jnp.zeros((b, H, W), bool)
 
+    # 1. single-frame LateFusion RGB-D detector
+    cfg = Config(model=ModelConfig(use_depth=True, fusion_type="LateFusion",
+                                   compute_dtype="bfloat16"))
+    model, _, _ = build_model(cfg)
     images, mask = inputs(1)
     variables = jax.jit(lambda r: model.init(
         r, images, mask, train=False))(jax.random.PRNGKey(0))
-
     fps_single = bench_forward(model, variables, *inputs(1))
-    fps_clip = bench_forward(model, variables, *inputs(2))
+
+    # 2. TransVOD++ LateFusion, one 2-frame RGB-D clip per forward
+    #    (the BASELINE.json north-star config)
+    cfg_v = Config(model=ModelConfig(
+        use_depth=True, fusion_type="LateFusion",
+        temporal_mode="transvod_pp", num_ref_frames=1,
+        compute_dtype="bfloat16"))
+    model_v, _, _ = build_model(cfg_v)
+    images, mask = inputs(2)
+    variables_v = jax.jit(lambda r: model_v.init(
+        r, images, mask, train=False))(jax.random.PRNGKey(0))
+    fps_clip = bench_forward(model_v, variables_v, *inputs(2))
 
     value = 0.5 * (fps_single + fps_clip)
     # no published reference speed (BASELINE.md): vs_baseline anchored to
@@ -64,8 +75,8 @@ def main():
         "value": round(value, 3),
         "unit": "frames/sec/chip",
         "vs_baseline": round(value, 3),
-        "detail": {"single_frame_fps": round(fps_single, 3),
-                   "clip2_fps": round(fps_clip, 3),
+        "detail": {"single_frame_latefusion_fps": round(fps_single, 3),
+                   "transvod_pp_2frame_clip_fps": round(fps_clip, 3),
                    "resolution": [H, W],
                    "device": str(jax.devices()[0]).split(":")[0]},
     }))

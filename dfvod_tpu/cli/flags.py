@@ -1,0 +1,88 @@
+"""Shared argparse flags — same public names as the reference
+(``main.py:31-194``), mapped onto the typed Config. Only the four
+canonical ``--fusion_type`` values are exposed (the 13 internal
+``depth_type`` research strings collapse onto them,
+``deformable_detr_single.py:630-646``).
+"""
+from __future__ import annotations
+
+import argparse
+
+from dfvod_tpu.utils.config import Config
+
+
+def get_args_parser(video: bool = False) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("dfvod_tpu", add_help=False)
+    # optimizer / schedule (``main.py:33-60``)
+    p.add_argument("--lr", default=1e-4, type=float)
+    p.add_argument("--lr_backbone", default=1e-5, type=float)
+    p.add_argument("--lr_linear_proj_mult", default=0.1, type=float)
+    p.add_argument("--batch_size", default=4, type=int)
+    p.add_argument("--weight_decay", default=2e-5, type=float)
+    p.add_argument("--epochs", default=20, type=int)
+    p.add_argument("--clip_max_norm", default=0.1, type=float)
+    p.add_argument("--sgd", action="store_true")
+    # model (``main.py:62-118``)
+    p.add_argument("--backbone", default="resnet50", type=str)
+    p.add_argument("--dilation", action="store_true", default=True)
+    p.add_argument("--no_dilation", dest="dilation", action="store_false")
+    p.add_argument("--position_embedding", default="sine", type=str)
+    p.add_argument("--enc_layers", default=6, type=int)
+    p.add_argument("--dec_layers", default=6, type=int)
+    p.add_argument("--dim_feedforward", default=1024, type=int)
+    p.add_argument("--hidden_dim", default=256, type=int)
+    p.add_argument("--dropout", default=0.1, type=float)
+    p.add_argument("--nheads", default=8, type=int)
+    p.add_argument("--num_queries", default=300, type=int)
+    p.add_argument("--num_feature_levels", default=1, type=int)
+    p.add_argument("--dec_n_points", default=4, type=int)
+    p.add_argument("--enc_n_points", default=4, type=int)
+    p.add_argument("--dpth_n_points", default=4, type=int)
+    p.add_argument("--two_stage", action="store_true")
+    p.add_argument("--with_box_refine", action="store_true", default=True)
+    p.add_argument("--num_classes", default=3, type=int)
+    # losses (``main.py:120-140``)
+    p.add_argument("--no_aux_loss", dest="aux_loss", action="store_false")
+    p.add_argument("--cls_loss_coef", default=2.0, type=float)
+    p.add_argument("--bbox_loss_coef", default=5.0, type=float)
+    p.add_argument("--giou_loss_coef", default=2.0, type=float)
+    p.add_argument("--focal_alpha", default=0.25, type=float)
+    p.add_argument("--set_cost_class", default=2.0, type=float)
+    p.add_argument("--set_cost_bbox", default=5.0, type=float)
+    p.add_argument("--set_cost_giou", default=2.0, type=float)
+    # depth fusion
+    p.add_argument("--use_depth", action="store_true")
+    p.add_argument("--fusion_type", default="Baseline",
+                   choices=["Baseline", "LateFusion", "Backbone_CrossFusion",
+                            "Encoder_CrossFusion"])
+    # dataset (``main.py:142-156``)
+    p.add_argument("--dataset_file", default="vid_single", type=str)
+    p.add_argument("--coco_path", default="", type=str)
+    p.add_argument("--output_dir", default="", type=str)
+    p.add_argument("--seed", default=42, type=int)
+    p.add_argument("--resume", default="", type=str)
+    p.add_argument("--start_epoch", default=0, type=int)
+    p.add_argument("--eval", action="store_true")
+    p.add_argument("--max_boxes", default=64, type=int)
+    p.add_argument("--del_class_weights", action="store_true")
+    p.add_argument("--no_wandb", action="store_true", default=True)
+    p.add_argument("--wandb", dest="no_wandb", action="store_false")
+    # video (``main_multi.py:28-177``)
+    if video:
+        p.add_argument("--num_ref_frames", default=3, type=int)
+        p.add_argument("--n_temporal_decoder_layers", default=1, type=int)
+        p.add_argument("--fixed_pretrained_model", action="store_true")
+        p.add_argument("--transvod_temporal_weights", default="", type=str)
+        p.add_argument("--spatial_weights", default="", type=str)
+    return p
+
+
+def config_from_args(args, video: bool = False) -> Config:
+    kw = dict(vars(args))
+    if video:
+        mode = ("transvod_pp" if "plusplus" in kw.get("dataset_file", "")
+                else "transvod")
+        kw["temporal_mode"] = mode
+    if kw.get("fusion_type", "Baseline") != "Baseline":
+        kw["use_depth"] = True
+    return Config.from_flat(**kw)

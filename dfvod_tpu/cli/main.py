@@ -1,0 +1,155 @@
+"""Training CLI — single-frame models (Baseline + 3 fusion modes).
+
+Parity target: ``main.py:196-655`` — seeding, model/dataset/loader build,
+per-fusion optimizer groups, epoch loop with per-epoch cosine step,
+checkpoint every epoch (numbered every 5), NaN hard-exit, eval, logging.
+Distributed init is implicit: one process drives all local devices via the
+mesh (replaces ``init_distributed_mode`` + DDP).
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import jax
+import numpy as np
+
+from dfvod_tpu.cli.flags import config_from_args, get_args_parser
+from dfvod_tpu.data.dataset import build_dataset, make_transform
+from dfvod_tpu.data.loader import Loader
+from dfvod_tpu.models import build_model
+from dfvod_tpu.parallel import make_mesh
+from dfvod_tpu.train import create_train_state, make_train_step
+from dfvod_tpu.train.evaluate import evaluate
+from dfvod_tpu.utils import checkpoint as ckpt
+from dfvod_tpu.utils.logging import (
+    MetricLogger,
+    WandbLogger,
+    append_log,
+    dump_args,
+)
+
+
+def train_loop(cfg, *, video: bool = False, resume: str = "",
+               start_epoch: int = 0, eval_only: bool = False,
+               del_class_weights: bool = False,
+               temporal_weights: str = "", spatial_weights: str = "",
+               wandb_enabled: bool = False):
+    np.random.seed(cfg.train.seed)
+    mesh = make_mesh()
+    n_dev = len(mesh.devices.flatten())
+    frames = (1 + cfg.model.num_ref_frames) if video else 1
+    print(f"devices: {n_dev} ({mesh.devices.flatten()[0].platform}), "
+          f"frames/clip: {frames}")
+
+    model, criterion, _ = build_model(cfg)
+    dump_args(cfg, cfg.output_dir)
+
+    train_ds = build_dataset("train", cfg, temporal=video)
+    val_ds = build_dataset("val", cfg, temporal=video)
+    common = dict(max_boxes=cfg.data.max_boxes, use_depth=cfg.data.use_depth,
+                  seed=cfg.train.seed, mesh=mesh)
+    train_loader = Loader(train_ds, make_transform(True, cfg),
+                          batch_size=cfg.train.batch_size, shuffle=True,
+                          drop_last=True, **common)
+    val_loader = Loader(val_ds, make_transform(False, cfg),
+                        batch_size=cfg.train.batch_size, shuffle=False,
+                        **common)
+    steps_per_epoch = max(len(train_loader), 1)
+
+    sample = next(iter(train_loader))
+    batch = {"images": sample["image"], "mask": sample["mask"],
+             "labels": sample["labels"], "boxes": sample["boxes"],
+             "valid": sample["valid"]}
+    state, tx, _ = create_train_state(
+        jax.random.PRNGKey(cfg.train.seed), model, cfg, batch,
+        steps_per_epoch)
+    n_params = sum(np.prod(x.shape) for x in
+                   jax.tree_util.tree_leaves(state.params))
+    print(f"number of params: {int(n_params)}")
+
+    # ---- checkpoint surgery + resume (``main.py:468-540``,
+    # ``main_multi.py:342-364``)
+    if resume:
+        restored, _ = ckpt.load_checkpoint(resume)
+        weights = restored["params"]
+        if del_class_weights:
+            weights = ckpt.drop_keys(weights, "class_embed")
+        params, _ = ckpt.merge_matching(state.params, weights)
+        model_state, _ = ckpt.merge_matching(state.model_state,
+                                             restored.get("model_state", {}))
+        state = state.replace(params=params, model_state=model_state)
+    if temporal_weights or spatial_weights:
+        t = (ckpt.load_checkpoint(temporal_weights)[0]["params"]
+             if temporal_weights else None)
+        s = (ckpt.load_checkpoint(spatial_weights)[0]["params"]
+             if spatial_weights else None)
+        state = state.replace(params=ckpt.merge_temporal_weights(
+            state.params, temporal_params=t, spatial_params=s))
+
+    if eval_only:
+        stats = evaluate(model, state.variables, val_loader, val_ds.coco,
+                         frames=frames)
+        append_log(cfg.output_dir, {"eval": stats})
+        return stats
+
+    step_fn = make_train_step(model, criterion, tx, mesh=mesh,
+                              frames=frames)
+    wandb = WandbLogger(wandb_enabled, config={"cfg": str(cfg)})
+    rng = jax.random.PRNGKey(cfg.train.seed + 1)
+
+    print("Start training")
+    t0 = time.time()
+    for epoch in range(start_epoch, cfg.train.epochs):
+        train_loader.set_epoch(epoch)
+        logger = MetricLogger(print_freq=10)
+        for sample in logger.log_every(train_loader,
+                                       header=f"Epoch: [{epoch}]"):
+            batch = {"images": sample["image"], "mask": sample["mask"],
+                     "labels": sample["labels"], "boxes": sample["boxes"],
+                     "valid": sample["valid"]}
+            state, metrics = step_fn(state, batch, rng)
+            loss = float(metrics["loss"])
+            if not np.isfinite(loss):
+                # NaN hard-exit (``engine_single.py:56-59``)
+                print(f"Loss is {loss}, stopping training")
+                print({k: float(v) for k, v in metrics.items()})
+                sys.exit(1)
+            logger.update(loss=loss,
+                          grad_norm=float(metrics["grad_norm"]),
+                          loss_ce=float(metrics.get("loss_ce", 0.0)),
+                          loss_bbox=float(metrics.get("loss_bbox", 0.0)),
+                          loss_giou=float(metrics.get("loss_giou", 0.0)))
+
+        if cfg.output_dir:
+            ckpt.save_checkpoint(cfg.output_dir, state, epoch)
+        stats = {"epoch": epoch,
+                 **{f"train_{k}": m.global_avg
+                    for k, m in logger.meters.items()}}
+        append_log(cfg.output_dir, stats)
+        wandb.log(stats)
+
+    print(f"Training time {time.time() - t0:.0f}s")
+    eval_stats = evaluate(model, state.variables, val_loader, val_ds.coco,
+                          frames=frames)
+    append_log(cfg.output_dir, {"eval": eval_stats})
+    wandb.finish()
+    return eval_stats
+
+
+def main(argv=None, video: bool = False):
+    parser = argparse.ArgumentParser(
+        "dfvod_tpu training", parents=[get_args_parser(video=video)])
+    args = parser.parse_args(argv)
+    cfg = config_from_args(args, video=video)
+    return train_loop(
+        cfg, video=video, resume=args.resume, start_epoch=args.start_epoch,
+        eval_only=args.eval, del_class_weights=args.del_class_weights,
+        temporal_weights=getattr(args, "transvod_temporal_weights", ""),
+        spatial_weights=getattr(args, "spatial_weights", ""),
+        wandb_enabled=not args.no_wandb)
+
+
+if __name__ == "__main__":
+    main()

@@ -167,6 +167,7 @@ class DeformableDETR(nn.Module):
         # expose trunk state for temporal heads / debugging
         out["_trunk"] = {k: t_out[k] for k in
                          ("memory", "mask_flat", "spatial_shapes",
-                          "valid_ratios", "query_pos", "hs_last",
-                          "init_reference")}
+                          "valid_ratios", "query_pos", "pos_flat",
+                          "hs_last", "init_reference", "last_reference",
+                          "last_deltas")}
         return out

@@ -29,7 +29,8 @@ def postprocess(pred_logits, pred_boxes, target_sizes, top_k: int = 100):
     """
     B, Q, K = pred_logits.shape
     prob = jax.nn.sigmoid(pred_logits).reshape(B, Q * K)
-    scores, topk_idx = jax.lax.top_k(prob, top_k)
+    # clamp for small-Q configs (reference assumes Q*K >= 100)
+    scores, topk_idx = jax.lax.top_k(prob, min(top_k, Q * K))
     topk_boxes = topk_idx // K
     labels = topk_idx % K
     boxes = box_cxcywh_to_xyxy(pred_boxes)

@@ -431,7 +431,15 @@ class DeformableTransformer(nn.Module):
             "spatial_shapes": spatial_shapes,
             "valid_ratios": valid_ratios,
             "query_pos": query_pos,
+            "pos_flat": pos_flat,
             "hs_last": output,
+            # temporal-head inputs: the post-refinement reference
+            # (``inter_references_out[-1]``) and the last layer's raw box
+            # deltas (so QRF can recompute ``bbox_embed[-1](hs) +
+            # inverse_sigmoid(last_reference)`` exactly,
+            # ``deformable_transformer_multi_plusplus.py:476-480``)
+            "last_reference": reference_points,
+            "last_deltas": deltas,
         }
         if self.two_stage:
             out["enc_outputs_class"] = enc_outputs_class

@@ -52,12 +52,22 @@ def create_train_state(rng, model, cfg, sample_batch,
 
 
 def make_train_step(model, criterion, tx, mesh: Optional[Mesh] = None,
-                    donate: bool = True):
+                    donate: bool = True, frames: int = 1):
     """Build the jitted train step.
 
     batch: dict with images (B,H,W,C), mask (B,H,W) bool,
     labels (B,T) int32, boxes (B,T,4) cxcywh in [0,1], valid (B,T) bool.
+
+    ``frames`` > 1 (video): the batch carries B = clips * frames frame
+    rows; the model outputs key-frame predictions only, so targets are
+    sliced to the key frame of each clip (the reference's dataset returns
+    only key-frame targets, ``vid_multi.py:46-168``).
     """
+
+    def key_frames(x):
+        if frames == 1:
+            return x
+        return x.reshape(x.shape[0] // frames, frames, *x.shape[1:])[:, 0]
 
     def step_fn(state: TrainState, batch: Dict, dropout_rng):
         rng = jax.random.fold_in(dropout_rng, state.step)
@@ -74,8 +84,9 @@ def make_train_step(model, criterion, tx, mesh: Optional[Mesh] = None,
                 out = model.apply(variables, batch["images"], batch["mask"],
                                   train=True, rngs={"dropout": rng})
                 mut = {}
-            targets = {"labels": batch["labels"], "boxes": batch["boxes"],
-                       "valid": batch["valid"]}
+            targets = {"labels": key_frames(batch["labels"]),
+                       "boxes": key_frames(batch["boxes"]),
+                       "valid": key_frames(batch["valid"])}
             total, parts = criterion(out, targets)
             return total, (parts, mut)
 

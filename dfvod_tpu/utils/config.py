@@ -45,6 +45,9 @@ class ModelConfig:
     temporal_mode: str = "none"         # none | transvod | transvod_pp
     num_ref_frames: int = 3
     n_temporal_decoder_layers: int = 1
+    use_tdam: bool = False              # flag False in TransVOD (``:46``);
+                                        # the ++ call site is dead code
+                                        # (``..._plusplus.py:428-429``)
     interval1: int = 20
     interval2: int = 60
     fixed_pretrained_model: bool = False

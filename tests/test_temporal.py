@@ -1,0 +1,148 @@
+"""Tests for RoIAlign, DynamicConv/QRF pieces, and the TransVOD /
+TransVOD++ temporal models."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dfvod_tpu.models import build_model
+from dfvod_tpu.ops.roi_align import roi_align
+from dfvod_tpu.utils.config import Config, DataConfig, ModelConfig
+
+
+class TestRoIAlign:
+    def test_constant_map(self):
+        feat = jnp.full((1, 8, 8, 3), 5.0)
+        boxes = jnp.array([[[4.0, 4.0, 20.0, 20.0]]])  # image coords
+        out = roi_align(feat, boxes, output_size=7, spatial_scale=0.25,
+                        sampling_ratio=2)
+        assert out.shape == (1, 1, 7, 7, 3)
+        np.testing.assert_allclose(np.asarray(out), 5.0, rtol=1e-6)
+
+    def test_linear_ramp_gives_bin_centers(self):
+        # f(y, x) = x  ->  each output bin = x-coord of its center
+        H = W = 16
+        x = jnp.broadcast_to(jnp.arange(W, dtype=jnp.float32)[None, :],
+                             (H, W))
+        feat = x[None, :, :, None]
+        x1, y1, x2, y2 = 2.0, 2.0, 10.0, 10.0
+        boxes = jnp.array([[[x1, y1, x2, y2]]])
+        P = 4
+        out = roi_align(feat, boxes, output_size=P, spatial_scale=1.0,
+                        sampling_ratio=2)[0, 0, :, :, 0]
+        bin_w = (x2 - x1) / P
+        expected_cols = x1 - 0.5 + (np.arange(P) + 0.5) * bin_w
+        for r in range(P):
+            np.testing.assert_allclose(np.asarray(out[r]), expected_cols,
+                                       rtol=1e-5)
+
+    def test_out_of_bounds_contributes_zero(self):
+        feat = jnp.ones((1, 4, 4, 1))
+        # roi entirely left of the image (after -0.5 alignment shift)
+        boxes = jnp.array([[[-40.0, 0.0, -20.0, 4.0]]])
+        out = roi_align(feat, boxes, output_size=2, spatial_scale=1.0,
+                        sampling_ratio=2)
+        np.testing.assert_allclose(np.asarray(out), 0.0)
+
+    def test_batch_isolation(self):
+        feat = jnp.stack([jnp.zeros((4, 4, 1)), jnp.ones((4, 4, 1))])
+        boxes = jnp.tile(jnp.array([[[0.5, 0.5, 3.0, 3.0]]]), (2, 1, 1))
+        out = roi_align(feat, boxes, output_size=2, spatial_scale=1.0,
+                        sampling_ratio=2)
+        np.testing.assert_allclose(np.asarray(out[0]), 0.0)
+        np.testing.assert_allclose(np.asarray(out[1]), 1.0)
+
+    def test_gradients_flow(self):
+        feat = jnp.ones((1, 8, 8, 2))
+        boxes = jnp.array([[[1.0, 1.0, 6.0, 6.0]]])
+
+        def f(feat):
+            return roi_align(feat, boxes, output_size=3,
+                             spatial_scale=1.0).sum()
+
+        g = jax.grad(f)(feat)
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).sum()) > 0
+
+
+def tiny_cfg(mode, n_ref=2):
+    model = ModelConfig(
+        num_classes=3, num_queries=12, hidden_dim=32, nheads=4,
+        enc_layers=1, dec_layers=2, dim_feedforward=64, dropout=0.0,
+        num_feature_levels=1, use_depth=False, fusion_type="Baseline",
+        with_box_refine=True, dilation=True, temporal_mode=mode,
+        num_ref_frames=n_ref)
+    return Config(model=model, data=DataConfig())
+
+
+class TestTemporalModels:
+    @pytest.mark.parametrize("mode", ["transvod", "transvod_pp"])
+    def test_output_structure(self, mode):
+        """Full abstract trace (shapes + dtype) without XLA compile."""
+        cfg = tiny_cfg(mode)
+        model, _, _ = build_model(cfg)
+        F = 1 + cfg.model.num_ref_frames
+        B = 2
+        images = jnp.zeros((B * F, 64, 64, 3))
+        mask = jnp.zeros((B * F, 64, 64), bool)
+
+        out = jax.eval_shape(
+            lambda r: model.init(r, images, mask, train=False),
+            jax.random.PRNGKey(0))
+        assert "params" in out
+
+        params_shape = out["params"]
+        names = set(params_shape.keys())
+        assert "temporal_query_layer1" in names
+        if mode == "transvod":
+            assert "temporal_decoder" in names and "temp_head" in names
+        else:
+            assert {"qrf_dynamic_layer1", "temporal_decoder1",
+                    "temp_head_0", "temp_head_2"} <= names
+
+    def test_transvod_pp_forward(self):
+        cfg = tiny_cfg("transvod_pp", n_ref=2)
+        model, criterion, _ = build_model(cfg)
+        F, B = 3, 1
+        rng = np.random.default_rng(0)
+        images = jnp.asarray(
+            rng.standard_normal((B * F, 64, 64, 3)), jnp.float32)
+        mask = jnp.zeros((B * F, 64, 64), bool)
+        variables = jax.jit(
+            lambda r: model.init(r, images, mask, train=False))(
+            jax.random.PRNGKey(0))
+        out = jax.jit(
+            lambda v: model.apply(v, images, mask, train=False))(variables)
+        Q = cfg.model.num_queries
+        assert out["pred_logits"].shape == (B, Q, 3)
+        assert out["pred_boxes"].shape == (B, Q, 4)
+        assert len(out["aux_outputs"]) == 2
+        assert np.isfinite(np.asarray(out["pred_boxes"])).all()
+        assert (np.asarray(out["pred_boxes"]) >= 0).all()
+        assert (np.asarray(out["pred_boxes"]) <= 1).all()
+
+        # criterion over key-frame targets
+        targets = {"labels": jnp.ones((B, 4), jnp.int32),
+                   "boxes": jnp.tile(jnp.array([.5, .5, .2, .2]), (B, 4, 1)),
+                   "valid": jnp.tile(jnp.arange(4) < 2, (B, 1))}
+        total, parts = jax.jit(lambda o, t: criterion(o, t))(
+            {"pred_logits": out["pred_logits"],
+             "pred_boxes": out["pred_boxes"],
+             "aux_outputs": out["aux_outputs"]}, targets)
+        assert np.isfinite(float(total))
+
+    def test_transvod_forward(self):
+        cfg = tiny_cfg("transvod", n_ref=2)
+        model, _, _ = build_model(cfg)
+        F, B = 3, 2
+        rng = np.random.default_rng(1)
+        images = jnp.asarray(
+            rng.standard_normal((B * F, 64, 64, 3)), jnp.float32)
+        mask = jnp.zeros((B * F, 64, 64), bool)
+        variables = jax.jit(
+            lambda r: model.init(r, images, mask, train=False))(
+            jax.random.PRNGKey(0))
+        out = jax.jit(
+            lambda v: model.apply(v, images, mask, train=False))(variables)
+        assert out["pred_logits"].shape == (B, cfg.model.num_queries, 3)
+        assert np.isfinite(np.asarray(out["pred_logits"])).all()
