@@ -284,6 +284,11 @@ class TemporalDeformableDETR(nn.Module):
                                for i in range(3)]
 
     def __call__(self, images, mask, *, train: bool = False):
+        from dfvod_tpu.models.detr import _matmul_precision
+        with _matmul_precision(self.cfg.compute_dtype):
+            return self._forward(images, mask, train=train)
+
+    def _forward(self, images, mask, *, train: bool = False):
         cfg = self.cfg
         F = 1 + cfg.num_ref_frames
         BF = images.shape[0]

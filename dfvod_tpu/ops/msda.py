@@ -116,6 +116,32 @@ def ms_deform_attn_xla(value, spatial_shapes, sampling_locations,
     return out.reshape(B, Lq, M * D)
 
 
+@functools.lru_cache(maxsize=None)
+def _pallas_with_xla_grad(spatial_shapes):
+    """Pallas forward + XLA-VJP backward (the col2im scatter-add gradient,
+    ``ms_deform_im2col_cuda.cuh:301-921``, falls out of autodiff on the
+    XLA path)."""
+    from dfvod_tpu.ops import msda_pallas
+
+    @jax.custom_vjp
+    def f(value, loc, attw):
+        return msda_pallas.ms_deform_attn_pallas(
+            value, spatial_shapes, loc, attw)
+
+    def fwd(value, loc, attw):
+        return f(value, loc, attw), (value, loc, attw)
+
+    def bwd(res, g):
+        value, loc, attw = res
+        _, vjp = jax.vjp(
+            lambda v, l, a: ms_deform_attn_xla(v, spatial_shapes, l, a),
+            value, loc, attw)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 @functools.partial(jax.jit, static_argnames=("spatial_shapes", "impl"))
 def ms_deform_attn(value, spatial_shapes, sampling_locations,
                    attention_weights, impl: str = "auto"):
@@ -140,8 +166,8 @@ def ms_deform_attn(value, spatial_shapes, sampling_locations,
         from dfvod_tpu.ops import msda_pallas
         if impl == "pallas" or msda_pallas.supported(
                 value, spatial_shapes, sampling_locations):
-            return msda_pallas.ms_deform_attn_pallas(
-                value, spatial_shapes, sampling_locations, attention_weights)
+            return _pallas_with_xla_grad(spatial_shapes)(
+                value, sampling_locations, attention_weights)
         return ms_deform_attn_xla(value, spatial_shapes, sampling_locations,
                                   attention_weights)
     raise ValueError(f"unknown impl {impl!r}")

@@ -1,23 +1,202 @@
-"""Pallas TPU kernel for multi-scale deformable attention.
+"""Pallas TPU kernel for multi-scale deformable attention (forward).
 
-Strategy: the flattened multi-level ``value`` tensor for the production
-configs (single level at stride 16/32, d_model=256) fits comfortably in VMEM
-(e.g. 38x63 tokens x 256 ch x 4 B ~= 2.4 MB), so the kernel keeps the whole
-value block resident in VMEM, blocks over queries, and performs the L x P x 4
-bilinear-corner gathers as VMEM loads — avoiding the HBM gather traffic the
-XLA lowering incurs.
+Replaces the CUDA ``ms_deformable_im2col_gpu_kernel``
+(``/root/reference/models/ops/src/cuda/ms_deform_im2col_cuda.cuh:237-299``)
+with a TPU-shaped split:
 
-Round 1 ships the XLA path as default; this module currently reports
-``supported() == False`` until the kernel lands (kept as an explicit stub so
-the dispatch surface in ``msda.py`` is stable).
+- the *coordinate* math (bilinear corner indices + fused
+  corner x attention x validity weights) is cheap VPU work — it runs as
+  plain XLA in the wrapper, fused into neighbouring ops
+- the *memory-bound* part — gathering L*P*4 value rows per (query, head)
+  and reducing them — is the Pallas kernel: grid = (B*M, Lq/TQ), the
+  head's full ``(S, D)`` value slab stays **resident in VMEM** across all
+  query blocks (a few hundred KB for the production stride-16 configs),
+  and each program does ONE batched row-gather (Mosaic ``dynamic_gather``)
+  plus an fma contraction. The CUDA kernel's global-memory traffic
+  becomes on-chip VMEM loads.
+
+Backward reuses the XLA path's autodiff (``msda.py`` wires a custom_vjp
+whose forward is this kernel and whose backward is XLA's VJP); the
+forward is what the inference north-star needs.
+
+``supported()`` probes once per process (real TPU + Mosaic gather
+lowering available). Force with ``DFVOD_MSDA_IMPL=xla|pallas``.
 """
 from __future__ import annotations
 
+import functools
+import os
+from typing import Tuple
 
-def supported(value, spatial_shapes, sampling_locations) -> bool:
-    return False
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TQ = 256  # query block (sublane-friendly)
+
+
+def corner_indices_weights(spatial_shapes, sampling_locations,
+                           attention_weights):
+    """Fold bilinear corners, attention weights and OOB masking into flat
+    token indices + scalar weights.
+
+    Returns idx (B, Lq, M, K) int32 into the flattened token axis and
+    w (B, Lq, M, K) f32, K = L * P * 4.
+    """
+    loc = sampling_locations.astype(jnp.float32)
+    attw = attention_weights.astype(jnp.float32)
+    idxs, ws = [], []
+    start = 0
+    for l, (H, W) in enumerate(spatial_shapes):
+        x = loc[:, :, :, l, :, 0] * W - 0.5        # (B, Lq, M, P)
+        y = loc[:, :, :, l, :, 1] * H - 0.5
+        w_l = attw[:, :, :, l, :]
+        x0, y0 = jnp.floor(x), jnp.floor(y)
+        fx, fy = x - x0, y - y0
+        x0i, y0i = x0.astype(jnp.int32), y0.astype(jnp.int32)
+        cw = ((1 - fy) * (1 - fx), (1 - fy) * fx,
+              fy * (1 - fx), fy * fx)
+        for c, (dy, dx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+            cx, cy = x0i + dx, y0i + dy
+            valid = (cx >= 0) & (cx < W) & (cy >= 0) & (cy < H)
+            idxs.append(jnp.clip(cy, 0, H - 1) * W
+                        + jnp.clip(cx, 0, W - 1) + start)
+            ws.append(cw[c] * w_l * valid.astype(jnp.float32))
+        start += H * W
+    return jnp.concatenate(idxs, -1), jnp.concatenate(ws, -1)
+
+
+def _kernel(idx_ref, w_ref, value_ref, out_ref):
+    """One (batch*head, query-block) program.
+
+    idx_ref: (1, TQ, K) int32; w_ref: (1, TQ, K) f32;
+    value_ref: (1, S, D); out_ref: (1, TQ, D).
+    """
+    v = value_ref[0]                               # (S, D)
+    idx = idx_ref[0]                               # (TQ, K)
+    w = w_ref[0]                                   # (TQ, K)
+    TQ, K = idx.shape
+    D = v.shape[-1]
+    g = jnp.take(v, idx.reshape(-1), axis=0, fill_value=0.0)
+    g = g.reshape(TQ, K, D).astype(jnp.float32)
+    acc = jnp.einsum("qk,qkd->qd", w, g,
+                     preferred_element_type=jnp.float32)
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+def _pallas_forward(value, spatial_shapes, sampling_locations,
+                    attention_weights, interpret: bool = False):
+    B, S, M, D = value.shape
+    _, Lq, _, L, P, _ = sampling_locations.shape
+    K = L * P * 4
+
+    idx, w = corner_indices_weights(spatial_shapes, sampling_locations,
+                                    attention_weights)
+    Lq_pad = -(-Lq // _TQ) * _TQ
+    if Lq_pad != Lq:
+        idx = jnp.pad(idx, ((0, 0), (0, Lq_pad - Lq), (0, 0), (0, 0)))
+        w = jnp.pad(w, ((0, 0), (0, Lq_pad - Lq), (0, 0), (0, 0)))
+
+    # per-(b, m) layout: last two dims full-sized or tile-aligned
+    idx_bm = idx.transpose(0, 2, 1, 3).reshape(B * M, Lq_pad, K)
+    w_bm = w.transpose(0, 2, 1, 3).reshape(B * M, Lq_pad, K)
+    v_bm = value.transpose(0, 2, 1, 3).reshape(B * M, S, D)
+
+    grid = (B * M, Lq_pad // _TQ)
+    out = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, _TQ, K), lambda bm, q: (bm, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TQ, K), lambda bm, q: (bm, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, D), lambda bm, q: (bm, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _TQ, D), lambda bm, q: (bm, q, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * M, Lq_pad, D), value.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * M * Lq_pad * K * D,
+            bytes_accessed=(B * M * S * D * value.dtype.itemsize
+                            + B * M * Lq_pad * K * 8),
+            transcendentals=0),
+    )(idx_bm, w_bm, v_bm)
+
+    out = out.reshape(B, M, Lq_pad, D)[:, :, :Lq]
+    return out.transpose(0, 2, 1, 3).reshape(B, Lq, M * D)
 
 
 def ms_deform_attn_pallas(value, spatial_shapes, sampling_locations,
-                          attention_weights):
-    raise NotImplementedError("Pallas MSDA kernel not yet enabled")
+                          attention_weights, interpret: bool = False):
+    """Forward-only Pallas MSDA; gradients come from the XLA path's VJP
+    (wired in ``msda.py``)."""
+    return _pallas_forward(value, tuple(spatial_shapes),
+                           sampling_locations, attention_weights,
+                           interpret=interpret)
+
+
+@functools.lru_cache(maxsize=1)
+def _probe() -> bool:
+    """Does the kernel compile AND compute correctly on this backend?
+
+    The probe checks numerics against the XLA oracle, not just compilation:
+    the 2026-08 axon remote-compile Mosaic toolchain either rejects
+    in-kernel row gathers ("Shape mismatch in input, indices and output")
+    or miscompiles gather-like patterns (iota-one-hot matmuls replicate
+    lane 0), so compile success alone is not trust-worthy.
+    """
+    try:
+        import jax.extend.backend
+        platform = jax.extend.backend.get_backend().platform
+    except Exception:
+        return False
+    if platform not in ("tpu", "axon"):
+        return False
+    try:
+        import numpy as np
+        from dfvod_tpu.ops.msda import ms_deform_attn_xla
+        rng = np.random.default_rng(0)
+        shapes = ((8, 16),)
+        v = np.asarray(rng.standard_normal((1, 128, 2, 8)), np.float32)
+        loc = np.asarray(rng.uniform(0, 1, (1, 4, 2, 1, 2, 2)), np.float32)
+        attw = np.full((1, 4, 2, 1, 2), 0.25, np.float32)
+        # the probe may fire from inside a jit trace (supported() is
+        # called in the dispatch); force concrete evaluation
+        with jax.ensure_compile_time_eval():
+            got = np.asarray(_pallas_forward(
+                jnp.asarray(v), shapes, jnp.asarray(loc),
+                jnp.asarray(attw)))
+            ref = np.asarray(ms_deform_attn_xla(
+                jnp.asarray(v), shapes, jnp.asarray(loc),
+                jnp.asarray(attw)))
+        ok = bool(np.allclose(got, ref, atol=1e-4))
+        if not ok:
+            print("[msda_pallas] probe MISCOMPILED, using XLA path")
+        return ok
+    except Exception as e:  # Mosaic lowering not available
+        print(f"[msda_pallas] probe failed, using XLA path: "
+              f"{type(e).__name__}")
+        return False
+
+
+def supported(value, spatial_shapes, sampling_locations) -> bool:
+    """Whether the dispatch should pick the Pallas kernel.
+
+    Measured on the 2026-08 axon toolchain: the kernel compiles and is
+    numerically correct, but Mosaic lowers the in-kernel row gather ~40x
+    slower than XLA's native gather lowering (bench: 47 vs 2055 frames/s
+    end-to-end), so the XLA path is the production default and Pallas is
+    explicit opt-in (``DFVOD_MSDA_IMPL=pallas``) for toolchains with a
+    fast ``dynamic_gather``. The opt-in still runs the correctness probe.
+    """
+    if os.environ.get("DFVOD_MSDA_IMPL", "") != "pallas":
+        return False
+    # VMEM budget: the (S, D) slab (lane-padded to 128) must fit
+    S, D = value.shape[1], value.shape[3]
+    if S * max(D, 128) * value.dtype.itemsize > 8 * 1024 * 1024:
+        return False
+    return _probe()

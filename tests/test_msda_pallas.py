@@ -1,0 +1,79 @@
+"""Pallas MSDA kernel parity tests (interpreter mode — exact same kernel
+code path as TPU, minus Mosaic lowering). Mirrors the reference's
+``models/ops/test.py`` forward checks against the grid-sample oracle."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dfvod_tpu.ops.msda import ms_deform_attn_xla
+from dfvod_tpu.ops.msda_pallas import (
+    corner_indices_weights,
+    ms_deform_attn_pallas,
+)
+
+
+def make_inputs(rng, B=2, M=4, D=16, P=4, shapes=((6, 9), (3, 5)), Lq=37):
+    S = sum(h * w for h, w in shapes)
+    L = len(shapes)
+    v = jnp.asarray(rng.standard_normal((B, S, M, D)), jnp.float32)
+    loc = jnp.asarray(rng.uniform(-0.1, 1.1, (B, Lq, M, L, P, 2)),
+                      jnp.float32)
+    w = jax.nn.softmax(jnp.asarray(
+        rng.standard_normal((B, Lq, M, L * P)), jnp.float32)).reshape(
+        B, Lq, M, L, P)
+    return v, loc, w, shapes
+
+
+class TestPallasParity:
+    def test_multilevel(self, rng):
+        v, loc, w, shapes = make_inputs(rng)
+        ref = ms_deform_attn_xla(v, shapes, loc, w)
+        out = ms_deform_attn_pallas(v, shapes, loc, w, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_single_level_production_shape(self, rng):
+        # stride-16 encoder shape (downscaled), Lq == S
+        v, loc, w, shapes = make_inputs(rng, B=1, M=8, D=32, P=4,
+                                        shapes=((19, 25),), Lq=475)
+        ref = ms_deform_attn_xla(v, shapes, loc, w)
+        out = ms_deform_attn_pallas(v, shapes, loc, w, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_query_padding_path(self, rng):
+        # Lq not a multiple of the 256-query block
+        v, loc, w, shapes = make_inputs(rng, Lq=300)
+        ref = ms_deform_attn_xla(v, shapes, loc, w)
+        out = ms_deform_attn_pallas(v, shapes, loc, w, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_all_out_of_bounds_is_zero(self, rng):
+        v, loc, w, shapes = make_inputs(rng, Lq=8)
+        loc = jnp.full_like(loc, 7.0)  # far outside every level
+        out = ms_deform_attn_pallas(v, shapes, loc, w, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+
+class TestCornerIndicesWeights:
+    def test_weights_sum_to_attention(self, rng):
+        """In-bounds corner weights per point sum to the attention weight."""
+        v, loc, w, shapes = make_inputs(rng, Lq=16)
+        loc = jnp.clip(loc, 0.2, 0.8)  # keep every corner in bounds
+        idx, cw = corner_indices_weights(shapes, loc, w)
+        # (B, Lq, M, L*P*4) -> per (L, P): 4 corners sum to attw
+        B, Lq, M, K = cw.shape
+        L = len(shapes)
+        P = K // (L * 4)
+        # layout is [l0c0 | l0c1 | l0c2 | l0c3 | l1c0 | ...] per level
+        cw = cw.reshape(B, Lq, M, L, 4, P).sum(axis=4)
+        np.testing.assert_allclose(np.asarray(cw), np.asarray(w),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_indices_in_range(self, rng):
+        v, loc, w, shapes = make_inputs(rng)
+        S = v.shape[1]
+        idx, _ = corner_indices_weights(shapes, loc, w)
+        assert int(idx.min()) >= 0 and int(idx.max()) < S
