@@ -20,6 +20,7 @@ programs (SURVEY.md §7 design stance).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -28,6 +29,17 @@ from PIL import Image
 RGB_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 RGB_STD = np.array([0.229, 0.224, 0.225], np.float32)
 DEPTH_MEAN, DEPTH_STD = 0.48, 0.28  # DFormer stats (vid_single.py:136)
+
+
+def _use_native() -> bool:
+    """Production default: the C++ resize/normalize/pad path
+    (``native/preprocess.cpp``). ``DFVOD_NATIVE=0`` forces the PIL/numpy
+    path (PIL resize uses an antialiasing filter when downscaling; the
+    native path is plain half-pixel bilinear — cv2/torch semantics)."""
+    if os.environ.get("DFVOD_NATIVE", "1") == "0":
+        return False
+    from dfvod_tpu.data import native
+    return native.available()
 
 
 @dataclasses.dataclass
@@ -60,6 +72,16 @@ def _resize(sample: Sample, short: int, max_size: int) -> Sample:
     nh, nw = resize_short_side(h, w, short, max_size)
     if (nh, nw) == (h, w):
         return sample
+    if _use_native():
+        from dfvod_tpu.data import native
+        rgb = native.resize_bilinear_u8(sample.rgb, nh, nw)
+        depth = sample.depth
+        if depth is not None:
+            depth = native.resize_bilinear_u8(depth, nh, nw)[..., 0]
+        boxes = sample.boxes * np.array([nw / w, nh / h, nw / w, nh / h],
+                                        np.float32)
+        return dataclasses.replace(sample, rgb=rgb, depth=depth,
+                                   boxes=boxes)
     rgb = np.asarray(Image.fromarray(sample.rgb).resize(
         (nw, nh), Image.BILINEAR))
     depth = sample.depth
@@ -94,17 +116,29 @@ def normalize_and_pad(sample: Sample, pad_hw: Tuple[int, int],
     h, w = sample.rgb.shape[:2]
     ph, pw = pad_hw
     assert ph >= h and pw >= w, ((h, w), pad_hw)
-    rgb = (sample.rgb.astype(np.float32) / 255.0 - RGB_MEAN) / RGB_STD
-    chans = [rgb]
     if use_depth:
         assert sample.depth is not None, "use_depth without depth map"
-        d = (sample.depth.astype(np.float32) / 255.0 - DEPTH_MEAN) / DEPTH_STD
-        chans.append(d[..., None])
-    img = np.concatenate(chans, -1)
-    out = np.zeros((ph, pw, img.shape[-1]), np.float32)
-    out[:h, :w] = img
-    mask = np.ones((ph, pw), bool)
-    mask[:h, :w] = False
+    if _use_native():
+        from dfvod_tpu.data import native
+        mean = np.concatenate([RGB_MEAN, [DEPTH_MEAN]]) if use_depth \
+            else RGB_MEAN
+        std = np.concatenate([RGB_STD, [DEPTH_STD]]) if use_depth \
+            else RGB_STD
+        out, mask = native.preprocess_rgbd(
+            sample.rgb, sample.depth if use_depth else None,
+            (h, w), (ph, pw), mean, std)
+    else:
+        rgb = (sample.rgb.astype(np.float32) / 255.0 - RGB_MEAN) / RGB_STD
+        chans = [rgb]
+        if use_depth:
+            d = ((sample.depth.astype(np.float32) / 255.0 - DEPTH_MEAN)
+                 / DEPTH_STD)
+            chans.append(d[..., None])
+        img = np.concatenate(chans, -1)
+        out = np.zeros((ph, pw, img.shape[-1]), np.float32)
+        out[:h, :w] = img
+        mask = np.ones((ph, pw), bool)
+        mask[:h, :w] = False
 
     # boxes: xyxy -> cxcywh normalized by the *unpadded* size
     # (``transforms_single.py:262-286``)
