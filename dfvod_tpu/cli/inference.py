@@ -61,7 +61,16 @@ class DeformableDETRInference:
         variables = jax.jit(lambda r: self.model.init(
             r, images, mask, train=False))(jax.random.PRNGKey(0))
         params = variables["params"]
-        if self._resume:
+        if self._resume and self._resume.endswith((".pth", ".pth.tar")):
+            # reference torch checkpoint, converted on the fly
+            from dfvod_tpu.utils.convert_reference import (
+                load_reference_checkpoint,
+            )
+            variables, _ = load_reference_checkpoint(
+                self._resume, variables,
+                with_box_refine=self.cfg.model.with_box_refine)
+            params = variables["params"]
+        elif self._resume:
             restored, _ = ckpt.load_checkpoint(self._resume)
             params, _ = ckpt.merge_matching(params, restored["params"])
             for coll, tree in restored.get("model_state", {}).items():

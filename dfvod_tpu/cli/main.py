@@ -70,7 +70,25 @@ def train_loop(cfg, *, video: bool = False, resume: str = "",
     print(f"number of params: {int(n_params)}")
 
     # ---- checkpoint surgery + resume (``main.py:468-540``,
-    # ``main_multi.py:342-364``)
+    # ``main_multi.py:342-364``); ``.pth`` files are reference torch
+    # checkpoints, converted on the fly
+    if resume and resume.endswith((".pth", ".pth.tar")):
+        from dfvod_tpu.utils.convert_reference import (
+            load_reference_checkpoint,
+        )
+        variables, _ = load_reference_checkpoint(
+            resume, state.variables,
+            with_box_refine=cfg.model.with_box_refine)
+        if del_class_weights:
+            variables["params"] = ckpt.drop_keys(
+                variables["params"], "class_embed")
+            variables["params"], _ = ckpt.merge_matching(
+                state.params, variables["params"])
+        state = state.replace(
+            params=variables["params"],
+            model_state={k: v for k, v in variables.items()
+                         if k != "params"})
+        resume = ""
     if resume:
         restored, _ = ckpt.load_checkpoint(resume)
         weights = restored["params"]
