@@ -36,6 +36,9 @@ def main(argv=None):
     parser.add_argument("--warm_iters", default=5, type=int)
     parser.add_argument("--height", default=608, type=int)
     parser.add_argument("--width", default=800, type=int)
+    parser.add_argument("--profile_dir", default="", type=str,
+                        help="capture a jax.profiler trace of the timed "
+                             "loop (view with tensorboard / xprof)")
     args = parser.parse_args(argv)
     video = "multi" in args.dataset_file
     cfg = config_from_args(args, video=video)
@@ -53,8 +56,17 @@ def main(argv=None):
     fn = jax.jit(lambda v, x, m: model.apply(
         v, x, m, train=False)["pred_logits"])
 
-    t = measure_average_inference_time(fn, (variables, images, mask),
-                                       args.num_iters, args.warm_iters)
+    if args.profile_dir:
+        # SURVEY.md §5: the reference has no profiler; this is the TPU
+        # tracing hook (replaces the commented time.time() probes)
+        with jax.profiler.trace(args.profile_dir):
+            t = measure_average_inference_time(
+                fn, (variables, images, mask), args.num_iters,
+                args.warm_iters)
+        print(f"profile written to {args.profile_dir}")
+    else:
+        t = measure_average_inference_time(fn, (variables, images, mask),
+                                           args.num_iters, args.warm_iters)
     print(f"Average inference time: {t * 1e3:.3f} ms "
           f"({frames / t:.1f} frames/s, device "
           f"{jax.devices()[0].platform})")

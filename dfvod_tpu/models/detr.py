@@ -83,7 +83,15 @@ class DeformableDETR(nn.Module):
                                      return_stages=cfg.backbone_stages,
                                      name="backbone")
             if fusion in ("LateFusion", "Encoder_CrossFusion"):
-                self.depth_backbone = DFormerBackbone(name="depth_backbone")
+                if cfg.depth_backbone_type == "resnet18":
+                    from dfvod_tpu.models.research import (
+                        ResNet18DepthBackbone,
+                    )
+                    self.depth_backbone = ResNet18DepthBackbone(
+                        name="depth_backbone")
+                else:
+                    self.depth_backbone = DFormerBackbone(
+                        name="depth_backbone")
 
         n_stages = len(cfg.backbone_stages)
         projs = []

@@ -34,6 +34,8 @@ class ModelConfig:
     enc_n_points: int = 4
     dpth_n_points: int = 4
     backbone: str = "resnet50"
+    depth_backbone_type: str = "dformer"  # dformer | resnet18 (research
+                                          # fallback, ``research_scripts/``)
     dilation: bool = True
     position_embedding: str = "sine"
     with_box_refine: bool = True

@@ -208,6 +208,46 @@ def _convert_one(name: str, w, out, with_box_refine: bool) -> bool:
                 out["batch_stats"].append((base + (mod, "var"), w))
         return True
 
+    # --- Backbone Cross-Fusion (``dformer_crossfusion_backbone.py``) ---
+    # depth path lives flat inside our CrossFusionBackbone
+    m = re.match(r"backbone\.0\.d_body\.downsample_layers_e\."
+                 r"(\d+)\.(\d+)\.(.+)", name)
+    if m:
+        stage, j, leaf = int(m.group(1)), int(m.group(2)), m.group(3)
+        if stage == 0:
+            mod = {0: "stem_conv1", 1: "stem_bn1", 3: "stem_conv2",
+                   4: "stem_bn2"}[j]
+        else:
+            mod = {0: f"stage{stage}_bn", 1: f"stage{stage}_conv"}[j]
+        base = ("backbone",)
+        if "conv" in mod:
+            out["params"].append(
+                (base + (mod, "kernel" if leaf == "weight" else "bias"),
+                 _conv(w) if leaf == "weight" else w))
+        elif leaf in ("weight", "bias"):
+            out["params"].append((base + (mod, _ln(leaf)), w))
+        elif leaf == "running_mean":
+            out["batch_stats"].append((base + (mod, "mean"), w))
+        elif leaf == "running_var":
+            out["batch_stats"].append((base + (mod, "var"), w))
+        return True
+    m = re.match(r"backbone\.0\.((?:input|output)_(?:rgb|d)_proj\d)\."
+                 r"([01])\.(.+)", name)
+    if m:
+        mod, j, leaf = m.group(1), m.group(2), m.group(3)
+        if j == "0":
+            out["params"].append(
+                (("backbone", mod, "conv",
+                  "kernel" if leaf == "weight" else "bias"),
+                 _conv(w) if leaf == "weight" else w))
+        else:
+            out["params"].append((("backbone", mod, "gn", _ln(leaf)), w))
+        return True
+    m = re.match(r"backbone\.0\.((?:d2r|r2d)_fusion\d)\.(.+)", name)
+    if m:
+        return _convert_block(out, ("backbone", m.group(1)), m.group(2),
+                              w, ffn_norm="norm3")
+
     # --- input projections (``deformable_detr_single.py:101-150``) -----
     m = re.match(r"(input_proj|input_proj_depth)\.(\d+)\.([01])\.(.+)",
                  name)

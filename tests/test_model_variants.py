@@ -1,0 +1,112 @@
+"""Structure tests (abstract trace, no XLA compile) across the model
+variant grid: all four fusion types, two-stage, multi-level pyramid."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dfvod_tpu.models import build_model
+from dfvod_tpu.utils.config import Config, DataConfig, ModelConfig
+
+
+def tiny(**kw):
+    base = dict(num_classes=3, num_queries=12, hidden_dim=32, nheads=4,
+                enc_layers=2, dec_layers=2, dim_feedforward=64,
+                dropout=0.1, num_feature_levels=1, with_box_refine=True,
+                dilation=True)
+    base.update(kw)
+    return Config(model=ModelConfig(**base), data=DataConfig())
+
+
+def trace(cfg, C):
+    model, _, _ = build_model(cfg)
+    images = jnp.zeros((2, 64, 64, C))
+    mask = jnp.zeros((2, 64, 64), bool)
+    variables = jax.eval_shape(
+        lambda r: model.init(r, images, mask, train=False),
+        jax.random.PRNGKey(0))
+    out = jax.eval_shape(
+        lambda v: model.apply(v, images, mask, train=False), variables)
+    return variables, out
+
+
+class TestFusionVariants:
+    @pytest.mark.parametrize("fusion,C", [
+        ("Baseline", 3), ("LateFusion", 4),
+        ("Backbone_CrossFusion", 4), ("Encoder_CrossFusion", 4)])
+    def test_structure(self, fusion, C):
+        cfg = tiny(fusion_type=fusion, use_depth=C == 4)
+        variables, out = trace(cfg, C)
+        assert out["pred_logits"].shape == (2, 12, 3)
+        assert out["pred_boxes"].shape == (2, 12, 4)
+        assert len(out["aux_outputs"]) == cfg.model.dec_layers - 1
+        names = set(variables["params"].keys())
+        if fusion == "Backbone_CrossFusion":
+            assert "d2r_fusion2" in variables["params"]["backbone"]
+        if fusion in ("LateFusion", "Encoder_CrossFusion"):
+            assert "depth_backbone" in names
+            tnames = set(variables["params"]["transformer"].keys())
+            if fusion == "LateFusion":
+                assert "depth_encoder_layer" in tnames
+            else:
+                assert "fusion_layers_0" in tnames
+
+    def test_two_stage(self):
+        cfg = tiny(two_stage=True)
+        variables, out = trace(cfg, 3)
+        assert "enc_outputs" in out
+        assert out["enc_outputs"]["pred_logits"].shape[0] == 2
+        # two-stage has dec_layers + 1 heads (``deformable_detr_single.py``)
+        tnames = set(variables["params"]["transformer"].keys())
+        assert f"head_{cfg.model.dec_layers}" in tnames
+
+    def test_resnet18_depth_backbone(self):
+        cfg = tiny(fusion_type="LateFusion", use_depth=True,
+                   depth_backbone_type="resnet18")
+        variables, out = trace(cfg, 4)
+        db = variables["params"]["depth_backbone"]
+        assert "layer3" in db and "layer4" not in db
+        # stride-16, 256-ch single level (``depth_backbone.py:75-77``)
+        assert out["pred_logits"].shape == (2, 12, 3)
+
+    def test_multi_level_pyramid(self):
+        cfg = tiny(num_feature_levels=4)
+        variables, out = trace(cfg, 3)
+        # 3 backbone stages + 1 extra stride-64 projection
+        names = set(variables["params"].keys())
+        assert {"input_proj_0", "input_proj_1", "input_proj_2",
+                "input_proj_3"} <= names
+        assert out["pred_logits"].shape == (2, 12, 3)
+
+
+class TestCrossfusionConverterRules:
+    def test_crossfusion_keys_map(self, rng):
+        from dfvod_tpu.utils.convert_reference import (
+            convert_reference_state_dict,
+        )
+        r = lambda *s: rng.standard_normal(s).astype(np.float32)  # noqa
+        sd = {
+            "backbone.0.d_body.downsample_layers_e.0.0.weight":
+                r(16, 1, 3, 3),
+            "backbone.0.d_body.downsample_layers_e.1.0.running_var":
+                r(32),
+            "backbone.0.input_rgb_proj2.0.weight": r(32, 512, 1, 1),
+            "backbone.0.output_d_proj3.1.weight": r(64),
+            "backbone.0.d2r_fusion2.cross_attn.value_proj.weight":
+                r(32, 32),
+            "backbone.0.d2r_fusion2.norm3.weight": r(32),
+            "backbone.0.r2d_fusion2.depth_scale_adapt.bias": r(32),
+        }
+        params, model_state, unmapped = convert_reference_state_dict(
+            sd, verbose=False)
+        assert unmapped == []
+        b = params["backbone"]
+        assert b["stem_conv1"]["kernel"].shape == (3, 3, 1, 16)
+        assert model_state["batch_stats"]["backbone"]["stage1_bn"][
+            "var"].shape == (32,)
+        assert b["input_rgb_proj2"]["conv"]["kernel"].shape == \
+            (1, 1, 512, 32)
+        assert "scale" in b["output_d_proj3"]["gn"]
+        assert "kernel" in b["d2r_fusion2"]["cross_attn"]["value_proj"]
+        assert "norm" in b["d2r_fusion2"]["ffn"]
+        assert "bias" in b["r2d_fusion2"]["depth_scale_adapt"]
