@@ -64,6 +64,8 @@ def get_args_parser(video: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--start_epoch", default=0, type=int)
     p.add_argument("--eval", action="store_true")
     p.add_argument("--max_boxes", default=64, type=int)
+    p.add_argument("--device_preprocess", action="store_true",
+                   help="ship uint8 frames; normalize on device")
     p.add_argument("--del_class_weights", action="store_true")
     p.add_argument("--no_wandb", action="store_true", default=True)
     p.add_argument("--wandb", dest="no_wandb", action="store_false")

@@ -49,7 +49,8 @@ def train_loop(cfg, *, video: bool = False, resume: str = "",
     train_ds = build_dataset("train", cfg, temporal=video)
     val_ds = build_dataset("val", cfg, temporal=video)
     common = dict(max_boxes=cfg.data.max_boxes, use_depth=cfg.data.use_depth,
-                  seed=cfg.train.seed, mesh=mesh)
+                  seed=cfg.train.seed, mesh=mesh,
+                  device_preprocess=cfg.data.device_preprocess)
     train_loader = Loader(train_ds, make_transform(True, cfg),
                           batch_size=cfg.train.batch_size, shuffle=True,
                           drop_last=True, **common)
@@ -58,10 +59,17 @@ def train_loop(cfg, *, video: bool = False, resume: str = "",
                         **common)
     steps_per_epoch = max(len(train_loader), 1)
 
+    def to_batch(sample):
+        batch = {"images": sample["image"], "labels": sample["labels"],
+                 "boxes": sample["boxes"], "valid": sample["valid"]}
+        if "mask" in sample:
+            batch["mask"] = sample["mask"]
+        else:  # device-preprocess path: uint8 + sizes
+            batch["sizes"] = sample["size"]
+        return batch
+
     sample = next(iter(train_loader))
-    batch = {"images": sample["image"], "mask": sample["mask"],
-             "labels": sample["labels"], "boxes": sample["boxes"],
-             "valid": sample["valid"]}
+    batch = to_batch(sample)
     state, tx, _ = create_train_state(
         jax.random.PRNGKey(cfg.train.seed), model, cfg, batch,
         steps_per_epoch)
@@ -124,10 +132,7 @@ def train_loop(cfg, *, video: bool = False, resume: str = "",
         logger = MetricLogger(print_freq=10)
         for sample in logger.log_every(train_loader,
                                        header=f"Epoch: [{epoch}]"):
-            batch = {"images": sample["image"], "mask": sample["mask"],
-                     "labels": sample["labels"], "boxes": sample["boxes"],
-                     "valid": sample["valid"]}
-            state, metrics = step_fn(state, batch, rng)
+            state, metrics = step_fn(state, to_batch(sample), rng)
             loss = float(metrics["loss"])
             if not np.isfinite(loss):
                 # NaN hard-exit (``engine_single.py:56-59``)

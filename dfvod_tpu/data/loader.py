@@ -25,7 +25,7 @@ from typing import Iterator, List, Optional
 
 import numpy as np
 
-from dfvod_tpu.data.transforms import bucket_shape, normalize_and_pad
+from dfvod_tpu.data.transforms import bucket_shape, normalize_and_pad, pad_u8
 
 
 def shard_indices(n: int, rank: int, world: int, *, shuffle: bool,
@@ -55,7 +55,8 @@ class Loader:
                  rank: int = 0, world: int = 1,
                  mesh=None, clip_parallel: bool = False,
                  drop_last: bool = False, prefetch: int = 2,
-                 bucket_step: int = 128, pad_cap: int = 1344):
+                 bucket_step: int = 128, pad_cap: int = 1344,
+                 device_preprocess: bool = False):
         self.dataset = dataset
         self.transform = transform
         self.batch_size = batch_size
@@ -70,6 +71,9 @@ class Loader:
         self.prefetch = prefetch
         self.bucket_step = bucket_step
         self.pad_cap = pad_cap
+        # ship uint8 + sizes; normalization/mask happen inside the jitted
+        # step (``data/device_pipeline.py``) — 4x less H2D traffic
+        self.device_preprocess = device_preprocess
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -90,8 +94,9 @@ class Loader:
         ws = [f.rgb.shape[1] for f in frames]
         ph, pw = bucket_shape(max(hs), max(ws), self.bucket_step,
                               self.pad_cap)
-        cols = [normalize_and_pad(f, (ph, pw), self.use_depth,
-                                  self.max_boxes) for f in frames]
+        prep = pad_u8 if self.device_preprocess else normalize_and_pad
+        cols = [prep(f, (ph, pw), self.use_depth, self.max_boxes)
+                for f in frames]
         batch = {k: np.stack([c[k] for c in cols]) for k in cols[0]}
         return batch
 

@@ -160,6 +160,40 @@ def normalize_and_pad(sample: Sample, pad_hw: Tuple[int, int],
             "orig_size": np.array(sample.orig_size, np.int64)}
 
 
+def pad_u8(sample: Sample, pad_hw: Tuple[int, int], use_depth: bool,
+           max_boxes: int):
+    """uint8 variant of ``normalize_and_pad`` for the on-device pipeline
+    (``data/device_pipeline.py``): pads raw uint8 RGB(-D) into the bucket
+    and defers [0,1]+mean/std normalization + mask construction to the
+    device. Targets are identical to the host path."""
+    h, w = sample.rgb.shape[:2]
+    ph, pw = pad_hw
+    assert ph >= h and pw >= w, ((h, w), pad_hw)
+    C = 4 if use_depth else 3
+    out = np.zeros((ph, pw, C), np.uint8)
+    out[:h, :w, :3] = sample.rgb
+    if use_depth:
+        assert sample.depth is not None, "use_depth without depth map"
+        out[:h, :w, 3] = sample.depth
+
+    t = len(sample.boxes)
+    boxes = np.zeros((max_boxes, 4), np.float32)
+    labels = np.zeros((max_boxes,), np.int64)
+    valid = np.zeros((max_boxes,), bool)
+    n = min(t, max_boxes)
+    if n:
+        b = sample.boxes[:n]
+        cxcywh = np.stack([(b[:, 0] + b[:, 2]) / 2, (b[:, 1] + b[:, 3]) / 2,
+                           b[:, 2] - b[:, 0], b[:, 3] - b[:, 1]], -1)
+        boxes[:n] = cxcywh / np.array([w, h, w, h], np.float32)
+        labels[:n] = sample.labels[:n]
+        valid[:n] = True
+    return {"image": out, "labels": labels, "boxes": boxes,
+            "valid": valid, "image_id": sample.image_id,
+            "size": np.array([h, w], np.int64),
+            "orig_size": np.array(sample.orig_size, np.int64)}
+
+
 @dataclasses.dataclass
 class TrainTransform:
     """HFlip + multi-scale resize; one random draw shared across a clip."""

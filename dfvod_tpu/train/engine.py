@@ -40,8 +40,14 @@ class TrainState:
 def create_train_state(rng, model, cfg, sample_batch,
                        steps_per_epoch: int = 1000):
     """Initialize params + optimizer. Returns (state, tx, labels)."""
+    images = sample_batch["images"]
+    if images.dtype == jnp.uint8:
+        from dfvod_tpu.data.device_pipeline import device_normalize
+        images, mask = device_normalize(images, sample_batch["sizes"])
+    else:
+        mask = sample_batch["mask"]
     init = jax.jit(lambda r, x, m: model.init(r, x, m, train=False))
-    variables = init(rng, sample_batch["images"], sample_batch["mask"])
+    variables = init(rng, images, mask)
     variables = dict(variables)
     params = variables.pop("params")
     tx, labels = build_optimizer(params, cfg.model, cfg.train,
@@ -73,15 +79,24 @@ def make_train_step(model, criterion, tx, mesh: Optional[Mesh] = None,
         rng = jax.random.fold_in(dropout_rng, state.step)
 
         has_bn = "batch_stats" in state.model_state
+        # on-device preprocessing path: uint8 frames + content sizes
+        # (``data/device_pipeline.py``) — normalization fuses into the
+        # model graph
+        if batch["images"].dtype == jnp.uint8:
+            from dfvod_tpu.data.device_pipeline import device_normalize
+            images, mask = device_normalize(batch["images"],
+                                            batch["sizes"])
+        else:
+            images, mask = batch["images"], batch["mask"]
 
         def loss_fn(params):
             variables = {"params": params, **state.model_state}
             if has_bn:
                 out, mut = model.apply(
-                    variables, batch["images"], batch["mask"], train=True,
+                    variables, images, mask, train=True,
                     rngs={"dropout": rng}, mutable=["batch_stats"])
             else:
-                out = model.apply(variables, batch["images"], batch["mask"],
+                out = model.apply(variables, images, mask,
                                   train=True, rngs={"dropout": rng})
                 mut = {}
             targets = {"labels": key_frames(batch["labels"]),
@@ -134,7 +149,12 @@ def make_eval_step(model, mesh: Optional[Mesh] = None):
     """Jitted forward + raw top-k postprocess inputs. Host side finishes
     with ``postprocess`` + COCO accumulation (``engine_single.py:81-165``)."""
 
-    def fwd(variables, images, mask):
+    def fwd(variables, images, mask_or_sizes):
+        if images.dtype == jnp.uint8:
+            from dfvod_tpu.data.device_pipeline import device_normalize
+            images, mask = device_normalize(images, mask_or_sizes)
+        else:
+            mask = mask_or_sizes
         out = model.apply(variables, images, mask, train=False)
         return {"pred_logits": out["pred_logits"],
                 "pred_boxes": out["pred_boxes"]}

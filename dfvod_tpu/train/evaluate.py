@@ -9,6 +9,7 @@ from __future__ import annotations
 from typing import Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from dfvod_tpu.data.coco_eval import COCOEvaluator
@@ -20,9 +21,14 @@ def evaluate(model, variables, loader, coco_gt, *, frames: int = 1,
              top_k: int = 100, print_freq: int = 10) -> Dict[str, float]:
     """Run COCO eval over a loader. ``frames``>1: batches carry
     clips*frames frame rows; predictions/ids are key frames only."""
-    fwd = jax.jit(lambda v, x, m: (lambda o: (o["pred_logits"],
-                                              o["pred_boxes"]))(
-        model.apply(v, x, m, train=False)))
+    def _fwd(v, x, m):
+        if x.dtype == jnp.uint8:
+            from dfvod_tpu.data.device_pipeline import device_normalize
+            x, m = device_normalize(x, m)
+        o = model.apply(v, x, m, train=False)
+        return o["pred_logits"], o["pred_boxes"]
+
+    fwd = jax.jit(_fwd)
 
     evaluator = COCOEvaluator(coco_gt)
     logger = MetricLogger(print_freq=print_freq)
@@ -33,7 +39,8 @@ def evaluate(model, variables, loader, coco_gt, *, frames: int = 1,
         return x.reshape(x.shape[0] // frames, frames, *x.shape[1:])[:, 0]
 
     for batch in logger.log_every(loader, header="Eval:"):
-        logits, boxes = fwd(variables, batch["image"], batch["mask"])
+        m = batch["mask"] if "mask" in batch else batch["size"]
+        logits, boxes = fwd(variables, batch["image"], m)
         orig = key_rows(np.asarray(batch["orig_size"]))
         ids = key_rows(np.asarray(batch["image_id"]))
         res = postprocess(logits, boxes, orig.astype(np.float32),

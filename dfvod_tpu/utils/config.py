@@ -122,6 +122,9 @@ class DataConfig:
     rgb_std: Tuple[float, ...] = (0.229, 0.224, 0.225)
     depth_mean: float = 0.48
     depth_std: float = 0.28
+    # ship uint8 frames; normalize/mask on device inside the jitted step
+    # (``data/device_pipeline.py``) — 4x less H2D traffic
+    device_preprocess: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

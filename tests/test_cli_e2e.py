@@ -88,9 +88,13 @@ class TestTrainLoop:
         assert step == 0 and "params" in restored
 
     def test_resume_weights_only(self, coco_tree, tmp_path):
+        """Also exercises the on-device uint8 preprocessing path e2e."""
+        import dataclasses
         from dfvod_tpu.cli.main import train_loop
         out = tmp_path / "run2"
         cfg = tiny_train_cfg(coco_tree, out)
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data, device_preprocess=True))
         train_loop(cfg)
         # resume into eval-only; must not crash and must load weights
         stats = train_loop(cfg, resume=str(out), eval_only=True)
