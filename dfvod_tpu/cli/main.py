@@ -48,9 +48,12 @@ def train_loop(cfg, *, video: bool = False, resume: str = "",
 
     train_ds = build_dataset("train", cfg, temporal=video)
     val_ds = build_dataset("val", cfg, temporal=video)
+    # multi-host: each process loads its contiguous shard
+    # (``datasets/samplers.py:48-66`` semantics; jax runtime = rendezvous)
     common = dict(max_boxes=cfg.data.max_boxes, use_depth=cfg.data.use_depth,
                   seed=cfg.train.seed, mesh=mesh,
-                  device_preprocess=cfg.data.device_preprocess)
+                  device_preprocess=cfg.data.device_preprocess,
+                  rank=jax.process_index(), world=jax.process_count())
     train_loader = Loader(train_ds, make_transform(True, cfg),
                           batch_size=cfg.train.batch_size, shuffle=True,
                           drop_last=True, **common)

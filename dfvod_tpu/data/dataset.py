@@ -11,7 +11,7 @@ sampling; still images with ``video_id == -1`` replicate the key frame).
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence
+from typing import List, Optional
 
 import numpy as np
 from PIL import Image

@@ -22,14 +22,13 @@ scaled by the *depth* stream's valid ratio (``fuse_layers``,
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import flax.linen as nn
-import jax.numpy as jnp
+import jax
 
-from dfvod_tpu.models.backbone_dformer import DFormerDownsamplePath, _bn, _conv
+from dfvod_tpu.models.backbone_dformer import _bn, _conv
 from dfvod_tpu.models.backbone_resnet import (
-    RESNET50_STAGE_CHANNELS,
     FrozenBatchNorm,
     ResNetStage,
     conv,
@@ -42,8 +41,6 @@ from dfvod_tpu.models.transformer import (
     encoder_reference_points,
     get_valid_ratio,
 )
-
-import jax
 
 
 class _ProjGN(nn.Module):

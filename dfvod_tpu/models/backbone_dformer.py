@@ -17,7 +17,6 @@ from typing import Sequence
 
 import flax.linen as nn
 import jax
-import jax.numpy as jnp
 
 from dfvod_tpu.models.backbone_resnet import downsample_mask
 

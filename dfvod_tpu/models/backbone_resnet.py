@@ -14,7 +14,7 @@ torchvision checkpoints reproduce reference activations exactly.
 """
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Callable, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax

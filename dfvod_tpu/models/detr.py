@@ -18,19 +18,12 @@ the data pipeline.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax
-import jax.numpy as jnp
 
 from dfvod_tpu.models.backbone_crossfusion import CrossFusionBackbone
 from dfvod_tpu.models.backbone_dformer import DFormerBackbone
-from dfvod_tpu.models.backbone_resnet import (
-    RESNET50_STAGE_CHANNELS,
-    ResNet50,
-    downsample_mask,
-)
+from dfvod_tpu.models.backbone_resnet import ResNet50, downsample_mask
 from dfvod_tpu.models.position_encoding import sine_position_embedding
 from dfvod_tpu.models.transformer import DeformableTransformer
 from dfvod_tpu.utils.config import ModelConfig

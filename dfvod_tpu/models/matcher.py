@@ -17,9 +17,6 @@ each target slot, the matched query index (arbitrary for invalid slots).
 """
 from __future__ import annotations
 
-import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -14,7 +14,7 @@ Select via ``ModelConfig.depth_backbone_type = "resnet18"``.
 """
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Callable
 
 import flax.linen as nn
 import jax

@@ -29,8 +29,6 @@ Reference quirks kept (load-bearing for checkpoint parity):
 """
 from __future__ import annotations
 
-from typing import List, Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -39,7 +37,6 @@ import numpy as np
 from dfvod_tpu.models.detr import DeformableDETR
 from dfvod_tpu.models.layers import (
     FFN,
-    MLP,
     MSDeformAttn,
     MultiHeadAttention,
     dense,
@@ -48,7 +45,6 @@ from dfvod_tpu.models.layers import (
 from dfvod_tpu.models.transformer import (
     DeformableTransformerDecoderLayer,
     DetectionHead,
-    encoder_reference_points,
     inverse_sigmoid,
 )
 from dfvod_tpu.ops.roi_align import roi_align

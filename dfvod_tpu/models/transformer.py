@@ -22,7 +22,7 @@ unrolled (6 layers, distinct weights). Tokens are kept channels-last
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

@@ -12,7 +12,6 @@ pass a local ``--model`` path or pre-generate depth maps elsewhere.
 from __future__ import annotations
 
 import argparse
-import os
 from pathlib import Path
 
 import numpy as np

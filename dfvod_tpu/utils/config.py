@@ -10,7 +10,7 @@ names. Only the four canonical fusion modes are exposed.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 FUSION_TYPES = ("Baseline", "LateFusion", "Backbone_CrossFusion",
                 "Encoder_CrossFusion")

@@ -22,7 +22,7 @@ shapes + with_box_refine layout).
 from __future__ import annotations
 
 import re
-from typing import Dict, Mapping, Tuple
+from typing import Dict, Mapping
 
 import numpy as np
 

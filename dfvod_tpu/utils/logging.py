@@ -10,7 +10,7 @@ import json
 import os
 import time
 from collections import defaultdict, deque
-from typing import Dict, Iterable, Optional
+from typing import Dict, Optional
 
 
 class SmoothedValue:
