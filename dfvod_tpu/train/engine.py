@@ -127,7 +127,12 @@ def make_train_step(model, criterion, tx, mesh: Optional[Mesh] = None,
     data = NamedSharding(mesh, P("data"))
 
     def batch_shardings(batch):
-        return {k: NamedSharding(mesh, P("data", *([None] * (v.ndim - 1))))
+        # honor the sharding the loader committed (plain DP or
+        # clip-parallel P(('clip','data'))); host arrays default to DP
+        return {k: (v.sharding if hasattr(v, "sharding") and
+                    getattr(v.sharding, "mesh", None) is not None
+                    else NamedSharding(
+                        mesh, P("data", *([None] * (v.ndim - 1)))))
                 for k, v in batch.items()}
 
     def jitted(state, batch, rng):

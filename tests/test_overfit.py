@@ -1,0 +1,46 @@
+"""Training-convergence test: the full pipeline (matcher + criterion +
+per-group AdamW) overfits a tiny synthetic detection set — loss must drop
+substantially in a few dozen steps. This is the optimization-correctness
+anchor the reference only gets implicitly by watching mAP during training.
+"""
+import jax
+import numpy as np
+
+from dfvod_tpu.models import build_model
+from dfvod_tpu.train import create_train_state, make_train_step
+from dfvod_tpu.utils.config import Config, ModelConfig, TrainConfig
+
+
+def test_overfit_synthetic_boxes(rng):
+    cfg = Config(
+        model=ModelConfig(
+            num_classes=3, num_queries=8, hidden_dim=32, nheads=4,
+            enc_layers=1, dec_layers=1, dim_feedforward=64, dropout=0.0,
+            num_feature_levels=1, fusion_type="Baseline",
+            with_box_refine=True, aux_loss=False),
+        train=TrainConfig(lr=5e-4, epochs=100, clip_max_norm=0.5))
+    model, criterion, _ = build_model(cfg)
+
+    B, H, W, T = 2, 64, 64, 2
+    images = rng.standard_normal((B, H, W, 3)).astype(np.float32) * 0.1
+    # fixed boxes to memorize
+    boxes = np.tile(np.array([[0.3, 0.4, 0.2, 0.25],
+                              [0.7, 0.6, 0.15, 0.2]], np.float32),
+                    (B, 1, 1))
+    batch = {"images": images, "mask": np.zeros((B, H, W), bool),
+             "labels": np.ones((B, T), np.int32), "boxes": boxes,
+             "valid": np.ones((B, T), bool)}
+
+    state, tx, _ = create_train_state(jax.random.PRNGKey(0), model, cfg,
+                                      batch, steps_per_epoch=1)
+    step = make_train_step(model, criterion, tx)
+    losses = []
+    for i in range(60):
+        state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    first, last = np.mean(losses[:3]), np.mean(losses[-3:])
+    assert last < 0.4 * first, (first, last, losses[::10])
+    # box L1 specifically must shrink (boxes are memorizable): mean
+    # per-coordinate error below ~5% of the image
+    assert float(metrics["loss_bbox"]) < 0.2, float(metrics["loss_bbox"])
