@@ -31,38 +31,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from dfvod_tpu.ops.msda import corner_indices_weights
+
 _TQ = 256  # query block (sublane-friendly)
-
-
-def corner_indices_weights(spatial_shapes, sampling_locations,
-                           attention_weights):
-    """Fold bilinear corners, attention weights and OOB masking into flat
-    token indices + scalar weights.
-
-    Returns idx (B, Lq, M, K) int32 into the flattened token axis and
-    w (B, Lq, M, K) f32, K = L * P * 4.
-    """
-    loc = sampling_locations.astype(jnp.float32)
-    attw = attention_weights.astype(jnp.float32)
-    idxs, ws = [], []
-    start = 0
-    for l, (H, W) in enumerate(spatial_shapes):
-        x = loc[:, :, :, l, :, 0] * W - 0.5        # (B, Lq, M, P)
-        y = loc[:, :, :, l, :, 1] * H - 0.5
-        w_l = attw[:, :, :, l, :]
-        x0, y0 = jnp.floor(x), jnp.floor(y)
-        fx, fy = x - x0, y - y0
-        x0i, y0i = x0.astype(jnp.int32), y0.astype(jnp.int32)
-        cw = ((1 - fy) * (1 - fx), (1 - fy) * fx,
-              fy * (1 - fx), fy * fx)
-        for c, (dy, dx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
-            cx, cy = x0i + dx, y0i + dy
-            valid = (cx >= 0) & (cx < W) & (cy >= 0) & (cy < H)
-            idxs.append(jnp.clip(cy, 0, H - 1) * W
-                        + jnp.clip(cx, 0, W - 1) + start)
-            ws.append(cw[c] * w_l * valid.astype(jnp.float32))
-        start += H * W
-    return jnp.concatenate(idxs, -1), jnp.concatenate(ws, -1)
 
 
 def _kernel(idx_ref, w_ref, value_ref, out_ref):

@@ -57,6 +57,35 @@ class TestPallasParity:
         np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
 
 
+class TestFlatFormulation:
+    """The fast TPU path: single flat-table row gather."""
+
+    def test_parity_multilevel(self, rng):
+        from dfvod_tpu.ops.msda import ms_deform_attn_flat
+        v, loc, w, shapes = make_inputs(rng)
+        ref = ms_deform_attn_xla(v, shapes, loc, w)
+        out = ms_deform_attn_flat(v, shapes, loc, w)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_gradients_match_gather_path(self, rng):
+        from dfvod_tpu.ops.msda import ms_deform_attn_flat
+        v, loc, w, shapes = make_inputs(rng, B=1, M=2, D=8, P=2,
+                                        shapes=((5, 7),), Lq=11)
+
+        def loss(f, v, loc, w):
+            return jnp.sum(jnp.sin(f(v, shapes, loc, w)))
+
+        g_ref = jax.grad(loss, argnums=(1, 2, 3))(
+            lambda v, s, l, w: ms_deform_attn_xla(v, s, l, w), v, loc, w)
+        g_new = jax.grad(loss, argnums=(1, 2, 3))(
+            lambda v, s, l, w: ms_deform_attn_flat(v, s, l, w),
+            v, loc, w)
+        for a, b in zip(g_ref, g_new):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=1e-4)
+
+
 class TestCornerIndicesWeights:
     def test_weights_sum_to_attention(self, rng):
         """In-bounds corner weights per point sum to the attention weight."""
