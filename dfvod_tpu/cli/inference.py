@@ -81,7 +81,13 @@ class DeformableDETRInference:
             restored, _ = ckpt.load_checkpoint(self._spatial)
             params = ckpt.merge_temporal_weights(
                 params, spatial_params=restored["params"])
-        self.variables = {**variables, "params": params}
+        variables = {**variables, "params": params}
+        if self.cfg.model.compute_dtype == "bfloat16":
+            # serving mode: bf16 weights + activations
+            variables = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x, variables)
+        self.variables = variables
 
     def _prep(self, frames: List[Sample]):
         frames = self.transform(frames)
@@ -97,6 +103,8 @@ class DeformableDETRInference:
     def infer_frames(self, frames: List[Sample]) -> Dict:
         """One clip (or single frame) -> detections on the key frame."""
         images, mask = self._prep(frames)
+        if self.cfg.model.compute_dtype == "bfloat16":
+            images = images.astype(jnp.bfloat16)
         if self.variables is None:
             self._init_variables(images, mask)
         logits, boxes = self._fwd(self.variables, images, mask)
