@@ -66,6 +66,9 @@ def get_args_parser(video: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--max_boxes", default=64, type=int)
     p.add_argument("--device_preprocess", action="store_true",
                    help="ship uint8 frames; normalize on device")
+    p.add_argument("--remat", action="store_true",
+                   help="jax.checkpoint encoder layers (less memory, "
+                        "~1 extra forward in backward)")
     p.add_argument("--del_class_weights", action="store_true")
     p.add_argument("--no_wandb", action="store_true", default=True)
     p.add_argument("--wandb", dest="no_wandb", action="store_false")

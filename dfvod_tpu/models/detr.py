@@ -114,6 +114,7 @@ class DeformableDETR(nn.Module):
             num_classes=cfg.num_classes,
             fusion=cfg.transformer_fusion,
             dpth_n_points=cfg.dpth_n_points,
+            remat=cfg.remat,
             name="transformer")
 
     def __call__(self, images, mask, *, train: bool = False):

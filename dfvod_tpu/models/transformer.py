@@ -106,7 +106,9 @@ class DeformableTransformerEncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, src, pos, reference_points, spatial_shapes,
-                 padding_mask=None, *, deterministic: bool = True):
+                 padding_mask=None, deterministic: bool = True):
+        # NB deterministic is positional (not kw-only) so nn.remat can mark
+        # it static via static_argnums
         src2 = MSDeformAttn(self.d_model, self.n_levels, self.n_heads,
                             self.n_points, name="self_attn")(
             with_pos(src, pos), reference_points, src, spatial_shapes,
@@ -270,6 +272,7 @@ class DeformableTransformer(nn.Module):
     dpth_n_points: int = 4
     dpth_feature_levels: int = 1
     num_enc_fusion_layers: int = 4
+    remat: bool = False   # jax.checkpoint the encoder layers (memory dial)
 
     def _heads(self):
         num_pred = (self.num_decoder_layers + 1 if self.two_stage
@@ -327,15 +330,21 @@ class DeformableTransformer(nn.Module):
             src_flat = src_flat + fused
 
         # ---- encoder (optionally with interleaved cross-fusion, ``:497-518``)
+        # remat: recompute encoder-layer activations in the backward pass
+        # (jax.checkpoint) — trades ~1 extra forward for O(layers) less
+        # live activation memory, the standard TPU memory/FLOPs dial
+        enc_layer_cls = (nn.remat(DeformableTransformerEncoderLayer,
+                                  static_argnums=(4, 6))
+                         if self.remat else DeformableTransformerEncoderLayer)
         output = src_flat
         output_fusion = depth_flat
         for i in range(self.num_encoder_layers):
-            output = DeformableTransformerEncoderLayer(
+            output = enc_layer_cls(
                 self.d_model, self.dim_feedforward, self.dropout,
                 self.activation, self.num_feature_levels, self.n_heads,
                 self.enc_n_points, name=f"encoder_layers_{i}")(
                     output, pos_flat, ref_points_enc, spatial_shapes,
-                    mask_flat, deterministic=deterministic)
+                    mask_flat, deterministic)
             if self.fusion == "encoder_cf" and i < self.num_enc_fusion_layers:
                 # NB reference quirk kept: the RGB padding mask is applied to
                 # the depth tokens (same single-level spatial shape in all

@@ -55,6 +55,7 @@ class ModelConfig:
     fixed_pretrained_model: bool = False
     # compute
     compute_dtype: str = "float32"      # float32 | bfloat16
+    remat: bool = False                 # jax.checkpoint encoder layers
 
     def __post_init__(self):
         assert self.fusion_type in FUSION_TYPES, self.fusion_type

@@ -60,6 +60,30 @@ class TestFusionVariants:
         tnames = set(variables["params"]["transformer"].keys())
         assert f"head_{cfg.model.dec_layers}" in tnames
 
+    def test_remat_grad_parity(self, rng):
+        """jax.checkpoint'ed encoder layers: identical forward, gradients
+        equal to float noise (init with the plain model, apply with both)."""
+        import jax
+        import jax.numpy as jnp
+        models = {}
+        for remat in (False, True):
+            models[remat], _, _ = build_model(tiny(remat=remat))
+        x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)), jnp.float32)
+        m = jnp.zeros((1, 64, 64), bool)
+        v = jax.jit(lambda r: models[False].init(r, x, m, train=False))(
+            jax.random.PRNGKey(0))
+        grads = {}
+        for remat in (False, True):
+            def loss(p, remat=remat):
+                out = models[remat].apply({**v, "params": p}, x, m,
+                                          train=False)
+                return jnp.sum(out["pred_boxes"])
+            grads[remat] = jax.jit(jax.grad(loss))(v["params"])
+        deltas = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()),
+            grads[True], grads[False])
+        assert max(jax.tree_util.tree_leaves(deltas)) < 1e-5
+
     def test_resnet18_depth_backbone(self):
         cfg = tiny(fusion_type="LateFusion", use_depth=True,
                    depth_backbone_type="resnet18")
