@@ -71,8 +71,7 @@ def train_loop(cfg, *, video: bool = False, resume: str = "",
             batch["sizes"] = sample["size"]
         return batch
 
-    sample = next(iter(train_loader))
-    batch = to_batch(sample)
+    batch = to_batch(train_loader.first_batch())
     state, tx, _ = create_train_state(
         jax.random.PRNGKey(cfg.train.seed), model, cfg, batch,
         steps_per_epoch)

@@ -134,18 +134,24 @@ class COCOEvaluator:
                     "bbox": box.tolist(), "score": float(score)})
 
     def synchronize_between_processes(self):
-        """Merge per-process detections (multi-host eval)."""
+        """Merge per-process detections (multi-host eval) — the TPU
+        equivalent of the reference's pickled ``all_gather``
+        (``util/misc.py:124-164``): agree on the max payload length first,
+        then allgather equal-size byte buffers."""
         import jax
         if jax.process_count() <= 1:
             return
-        from jax.experimental import multihost_utils
         import json
+        from jax.experimental import multihost_utils
         payload = json.dumps({"dets": self.detections,
-                              "seen": sorted(self._seen)})
-        gathered = multihost_utils.process_allgather(
-            np.frombuffer(payload.encode().ljust(2 ** 22), dtype=np.uint8))
+                              "seen": sorted(self._seen)}).encode()
+        n = int(np.max(np.asarray(multihost_utils.process_allgather(
+            np.asarray([len(payload)], np.int64)))))
+        buf = np.zeros((n,), np.uint8)
+        buf[:len(payload)] = np.frombuffer(payload, np.uint8)
+        gathered = multihost_utils.process_allgather(buf)
         dets, seen = [], set()
-        for row in np.asarray(gathered):
+        for row in np.asarray(gathered).reshape(-1, n):
             obj = json.loads(bytes(row).rstrip(b"\x00").decode())
             dets.extend(obj["dets"])
             seen.update(obj["seen"])

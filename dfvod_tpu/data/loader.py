@@ -122,6 +122,12 @@ class Loader:
                     [chunk, idx[: self.batch_size - len(chunk)]])
             yield self._collate([self.dataset[int(j)] for j in chunk], rng)
 
+    def first_batch(self) -> dict:
+        """One batch, synchronously — for shape/state initialization.
+        (``next(iter(loader))`` would leave a prefetch worker blocked on a
+        full queue holding batches in host RAM.)"""
+        return self._device_put(next(self._host_batches()))
+
     def __iter__(self) -> Iterator[dict]:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = object()
@@ -130,8 +136,9 @@ class Loader:
             try:
                 for b in self._host_batches():
                     q.put(b)
-            finally:
                 q.put(stop)
+            except BaseException as e:  # propagate into the consumer
+                q.put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -139,4 +146,6 @@ class Loader:
             b = q.get()
             if b is stop:
                 return
+            if isinstance(b, BaseException):
+                raise b
             yield self._device_put(b)

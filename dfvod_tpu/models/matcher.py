@@ -202,6 +202,15 @@ def match(outputs, targets, loss_cfg, backend: str = "auto"):
         outputs["pred_logits"], outputs["pred_boxes"],
         targets["labels"], targets["boxes"], targets["valid"])
     cost = jax.lax.stop_gradient(cost)
+    # NaN/inf costs (diverged training) would hang the LAPJV while-loops
+    # (the scipy reference raises instead); sanitize so the step returns a
+    # (meaningless) assignment and the NaN-loss hard-exit in the train
+    # loop (engine_single.py:56-59 parity) can fire.
+    cost = jnp.nan_to_num(cost, nan=1e9, posinf=1e9, neginf=-1e9)
+    if backend == "scipy" and not callbacks_supported():
+        raise RuntimeError(
+            "matcher backend 'scipy' needs host callbacks, which this "
+            "runtime's PJRT client does not support; use 'lapjv'")
     if backend == "scipy":
         return hungarian_scipy(cost, targets["valid"])
     elif backend == "lapjv":

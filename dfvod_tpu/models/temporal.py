@@ -316,7 +316,7 @@ class TemporalDeformableDETR(nn.Module):
         S = memory.shape[1]
 
         cur_memory, ref_memory = split(memory)
-        _, ref_pos = split(pos_flat)
+        cur_pos, ref_pos = split(pos_flat)
         ref_memory = (ref_memory + ref_pos).reshape(B, N * S, -1)
         cur_hs, ref_hs = split(hs)
         ref_hs = ref_hs.reshape(B, N * Q, -1)
@@ -331,8 +331,8 @@ class TemporalDeformableDETR(nn.Module):
 
         if cfg.temporal_mode == "transvod":
             return self._transvod(
-                out_sf, cur_memory, ref_memory, cur_hs, ref_hs, ref_prob,
-                cur_ref, spatial_shapes, cur_valid_ratios, B,
+                out_sf, cur_memory, cur_pos, ref_memory, cur_hs, ref_hs,
+                ref_prob, cur_ref, spatial_shapes, cur_valid_ratios, B,
                 deterministic)
         return self._transvod_pp(
             out_sf, trunk, cur_memory, ref_memory, cur_hs, ref_hs,
@@ -340,9 +340,9 @@ class TemporalDeformableDETR(nn.Module):
             images, B, deterministic)
 
     # ------------------------------------------------------------------
-    def _transvod(self, out_sf, cur_memory, ref_memory, cur_hs, ref_hs,
-                  ref_prob, cur_ref, spatial_shapes, valid_ratios, B,
-                  deterministic):
+    def _transvod(self, out_sf, cur_memory, cur_pos, ref_memory, cur_hs,
+                  ref_hs, ref_prob, cur_ref, spatial_shapes, valid_ratios,
+                  B, deterministic):
         """``deformable_transformer_multi.py:328-378``."""
         cfg = self.cfg
         N = cfg.num_ref_frames
@@ -352,8 +352,10 @@ class TemporalDeformableDETR(nn.Module):
             ref_shapes = tuple(spatial_shapes[:1]) * N
             vr = jnp.broadcast_to(valid_ratios[:, :1], (B, N, 2))
             ref_points = _grid_reference_points(spatial_shapes, vr)
+            # key-frame pos embedding rides the TDAM queries
+            # (``cur_pos_embed``, ``deformable_transformer_multi.py:342``)
             cur_memory = self.temporal_encoder_layer(
-                cur_memory, None, ref_points, ref_memory, ref_shapes,
+                cur_memory, cur_pos, ref_points, ref_memory, ref_shapes,
                 deterministic=deterministic)
 
         # top-k over (query, class<K-1) pairs, index // (K-1) -> query id

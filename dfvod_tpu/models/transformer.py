@@ -346,15 +346,19 @@ class DeformableTransformer(nn.Module):
                     output, pos_flat, ref_points_enc, spatial_shapes,
                     mask_flat, deterministic)
             if self.fusion == "encoder_cf" and i < self.num_enc_fusion_layers:
-                # NB reference quirk kept: the RGB padding mask is applied to
-                # the depth tokens (same single-level spatial shape in all
-                # production configs), ``:515``.
+                # NB reference quirk kept: the RGB padding mask is applied
+                # to the depth tokens when the (production) single-level
+                # shapes coincide, ``:515``; with a multi-level RGB pyramid
+                # the depth stream keeps its own mask.
+                same_tokens = (mask_flat.shape[1]
+                               == depth_mask_flat.shape[1])
+                fusion_mask = mask_flat if same_tokens else depth_mask_flat
                 output_fusion = DepthFusionLayer(
-                    self.d_model, self.dropout, self.num_feature_levels,
+                    self.d_model, self.dropout, len(depth_shapes),
                     self.n_heads, self.enc_n_points,
                     name=f"fusion_layers_{i}")(
                         output, pos_flat, ref_points_enc, output_fusion,
-                        depth_shapes, mask_flat,
+                        depth_shapes, fusion_mask,
                         deterministic=deterministic)
                 output = output + output_fusion
         memory = output

@@ -238,6 +238,15 @@ def ms_deform_attn(value, spatial_shapes, sampling_locations,
         return ms_deform_attn_flat(value, spatial_shapes,
                                    sampling_locations, attention_weights)
     if impl == "pallas":
+        from dfvod_tpu.ops import msda_pallas
+        # explicit opt-in still goes through the correctness probe: the
+        # axon Mosaic toolchain is known to miscompile gather patterns
+        if not msda_pallas.supported(value, spatial_shapes,
+                                     sampling_locations):
+            raise RuntimeError(
+                "DFVOD_MSDA_IMPL=pallas, but the Mosaic gather correctness"
+                " probe failed on this backend (or the value slab exceeds"
+                " the VMEM budget); refusing to run a miscompiled kernel")
         return _pallas_with_xla_grad(spatial_shapes)(
             value, sampling_locations, attention_weights)
     raise ValueError(f"unknown impl {impl!r}")

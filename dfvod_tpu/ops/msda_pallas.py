@@ -162,8 +162,6 @@ def supported(value, spatial_shapes, sampling_locations) -> bool:
     explicit opt-in (``DFVOD_MSDA_IMPL=pallas``) for toolchains with a
     fast ``dynamic_gather``. The opt-in still runs the correctness probe.
     """
-    if os.environ.get("DFVOD_MSDA_IMPL", "") != "pallas":
-        return False
     # VMEM budget: the (S, D) slab (lane-padded to 128) must fit
     S, D = value.shape[1], value.shape[3]
     if S * max(D, 128) * value.dtype.itemsize > 8 * 1024 * 1024:

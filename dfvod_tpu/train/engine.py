@@ -82,12 +82,11 @@ def make_train_step(model, criterion, tx, mesh: Optional[Mesh] = None,
         # on-device preprocessing path: uint8 frames + content sizes
         # (``data/device_pipeline.py``) — normalization fuses into the
         # model graph
-        if batch["images"].dtype == jnp.uint8:
-            from dfvod_tpu.data.device_pipeline import device_normalize
-            images, mask = device_normalize(batch["images"],
-                                            batch["sizes"])
-        else:
-            images, mask = batch["images"], batch["mask"]
+        from dfvod_tpu.data.device_pipeline import maybe_device_normalize
+        images, mask = maybe_device_normalize(
+            batch["images"],
+            batch["sizes"] if batch["images"].dtype == jnp.uint8
+            else batch["mask"])
 
         def loss_fn(params):
             variables = {"params": params, **state.model_state}
@@ -135,11 +134,20 @@ def make_train_step(model, criterion, tx, mesh: Optional[Mesh] = None,
                         mesh, P("data", *([None] * (v.ndim - 1)))))
                 for k, v in batch.items()}
 
+    # one jit wrapper per sharding signature, built once and cached (a
+    # fresh jax.jit per step would pay wrapper construction + the slow
+    # dispatch path every iteration)
+    cache = {}
+
     def jitted(state, batch, rng):
         in_sh = (repl, batch_shardings(batch), repl)
-        f = jax.jit(step_fn, in_shardings=in_sh,
-                    out_shardings=(repl, repl),
-                    donate_argnums=(0,) if donate else ())
+        key = tuple(sorted((k, str(s)) for k, s in in_sh[1].items()))
+        f = cache.get(key)
+        if f is None:
+            f = jax.jit(step_fn, in_shardings=in_sh,
+                        out_shardings=(repl, repl),
+                        donate_argnums=(0,) if donate else ())
+            cache[key] = f
         return f(state, batch, rng)
 
     return jitted
@@ -150,29 +158,17 @@ def optax_global_norm(tree):
     return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))
 
 
-def make_eval_step(model, mesh: Optional[Mesh] = None):
-    """Jitted forward + raw top-k postprocess inputs. Host side finishes
-    with ``postprocess`` + COCO accumulation (``engine_single.py:81-165``)."""
+def make_eval_step(model):
+    """Jitted forward returning (pred_logits, pred_boxes); accepts f32
+    images + mask or uint8 images + sizes (on-device preprocess, see
+    ``data/device_pipeline.py``). Host side finishes with ``postprocess``
+    + COCO accumulation (``engine_single.py:81-165``); sharded batches
+    keep their committed shardings through jit."""
 
     def fwd(variables, images, mask_or_sizes):
-        if images.dtype == jnp.uint8:
-            from dfvod_tpu.data.device_pipeline import device_normalize
-            images, mask = device_normalize(images, mask_or_sizes)
-        else:
-            mask = mask_or_sizes
+        from dfvod_tpu.data.device_pipeline import maybe_device_normalize
+        images, mask = maybe_device_normalize(images, mask_or_sizes)
         out = model.apply(variables, images, mask, train=False)
-        return {"pred_logits": out["pred_logits"],
-                "pred_boxes": out["pred_boxes"]}
+        return out["pred_logits"], out["pred_boxes"]
 
-    if mesh is None:
-        return jax.jit(fwd)
-
-    repl = NamedSharding(mesh, P())
-
-    def jitted(variables, images, mask):
-        dsh = NamedSharding(mesh, P("data", *([None] * (images.ndim - 1))))
-        msh = NamedSharding(mesh, P("data", *([None] * (mask.ndim - 1))))
-        f = jax.jit(fwd, in_shardings=(repl, dsh, msh))
-        return f(variables, images, mask)
-
-    return jitted
+    return jax.jit(fwd)

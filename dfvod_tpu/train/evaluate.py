@@ -21,14 +21,8 @@ def evaluate(model, variables, loader, coco_gt, *, frames: int = 1,
              top_k: int = 100, print_freq: int = 10) -> Dict[str, float]:
     """Run COCO eval over a loader. ``frames``>1: batches carry
     clips*frames frame rows; predictions/ids are key frames only."""
-    def _fwd(v, x, m):
-        if x.dtype == jnp.uint8:
-            from dfvod_tpu.data.device_pipeline import device_normalize
-            x, m = device_normalize(x, m)
-        o = model.apply(v, x, m, train=False)
-        return o["pred_logits"], o["pred_boxes"]
-
-    fwd = jax.jit(_fwd)
+    from dfvod_tpu.train.engine import make_eval_step
+    fwd = make_eval_step(model)
 
     evaluator = COCOEvaluator(coco_gt)
     logger = MetricLogger(print_freq=print_freq)

@@ -137,6 +137,18 @@ class Config:
     output_dir: str = ""
     device: str = "tpu"
 
+    def __post_init__(self):
+        # single source of truth: a depth-fusion model forces the data
+        # pipeline's use_depth (the reference keeps one args namespace;
+        # here the flag exists in both sub-configs)
+        if self.model.use_depth and not self.data.use_depth:
+            object.__setattr__(self, "data", dataclasses.replace(
+                self.data, use_depth=True))
+        if self.model.temporal_mode != "none" and \
+                self.data.num_ref_frames != self.model.num_ref_frames:
+            object.__setattr__(self, "data", dataclasses.replace(
+                self.data, num_ref_frames=self.model.num_ref_frames))
+
     @staticmethod
     def from_flat(**kw) -> "Config":
         """Build from flat argparse-style keywords."""
