@@ -346,21 +346,27 @@ class DeformableTransformer(nn.Module):
                     output, pos_flat, ref_points_enc, spatial_shapes,
                     mask_flat, deterministic)
             if self.fusion == "encoder_cf" and i < self.num_enc_fusion_layers:
-                # NB reference quirk kept: the RGB padding mask is applied
-                # to the depth tokens when the (production) single-level
-                # shapes coincide, ``:515``; with a multi-level RGB pyramid
-                # the depth stream keeps its own mask.
+                # Reference semantics (``:497-518``): the fusion output
+                # (RGB-token-shaped) becomes the next layer's depth source
+                # AND the RGB padding mask is applied to it — both only
+                # type-check because the production config is single-level
+                # stride-16 where the RGB and depth grids coincide. With a
+                # multi-level pyramid we condition every fusion layer on
+                # the *original* depth tokens with the depth mask instead.
                 same_tokens = (mask_flat.shape[1]
                                == depth_mask_flat.shape[1])
+                src = output_fusion if same_tokens else depth_flat
                 fusion_mask = mask_flat if same_tokens else depth_mask_flat
-                output_fusion = DepthFusionLayer(
+                fused = DepthFusionLayer(
                     self.d_model, self.dropout, len(depth_shapes),
                     self.n_heads, self.enc_n_points,
                     name=f"fusion_layers_{i}")(
-                        output, pos_flat, ref_points_enc, output_fusion,
+                        output, pos_flat, ref_points_enc, src,
                         depth_shapes, fusion_mask,
                         deterministic=deterministic)
-                output = output + output_fusion
+                if same_tokens:
+                    output_fusion = fused
+                output = output + fused
         memory = output
 
         # ---- decoder input (``:306-329``)

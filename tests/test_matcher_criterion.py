@@ -202,3 +202,26 @@ def test_postprocess_matches_reference_semantics(rng):
                                           sizes[b][1], sizes[b][0]])
         np.testing.assert_allclose(np.asarray(res["boxes"][b]), exp_boxes,
                                    rtol=1e-5)
+
+
+class TestMatcherRobustness:
+    def test_nan_cost_terminates(self):
+        """Diverged predictions (NaN logits/boxes) must not hang the
+        on-device solver — the sanitized cost yields *some* assignment so
+        the train loop's NaN hard-exit can fire."""
+        import jax.numpy as jnp
+        from dfvod_tpu.models import matcher as matcher_lib
+        from dfvod_tpu.utils.config import LossConfig
+        B, Q, T = 2, 12, 4
+        outputs = {"pred_logits": jnp.full((B, Q, 3), jnp.nan),
+                   "pred_boxes": jnp.full((B, Q, 4), jnp.nan)}
+        targets = {"labels": jnp.ones((B, T), jnp.int32),
+                   "boxes": jnp.full((B, T, 4), 0.5),
+                   "valid": jnp.ones((B, T), bool)}
+        a = matcher_lib.match(outputs, targets, LossConfig(), "lapjv")
+        a = np.asarray(a)
+        assert a.shape == (B, T)
+        # assignment is a valid permutation-ish selection
+        for b in range(B):
+            assert len(set(a[b].tolist())) == T
+            assert (a[b] >= 0).all() and (a[b] < Q).all()

@@ -134,3 +134,13 @@ class TestCrossfusionConverterRules:
         assert "kernel" in b["d2r_fusion2"]["cross_attn"]["value_proj"]
         assert "norm" in b["d2r_fusion2"]["ffn"]
         assert "bias" in b["r2d_fusion2"]["depth_scale_adapt"]
+
+
+class TestEncoderCFMultiLevel:
+    def test_multi_level_encoder_cf_traces(self):
+        """Regression: Encoder_CrossFusion with a multi-level RGB pyramid
+        used to crash on the RGB-mask-onto-depth-tokens quirk."""
+        cfg = tiny(fusion_type="Encoder_CrossFusion", use_depth=True,
+                   num_feature_levels=4)
+        variables, out = trace(cfg, 4)
+        assert out["pred_logits"].shape == (2, 12, 3)
