@@ -103,6 +103,14 @@ class Loader:
     def _device_put(self, batch: dict) -> dict:
         if self.mesh is None:
             return batch
+        n_dev = self.mesh.devices.size
+        rows = len(batch["image"])
+        if rows % n_dev != 0:
+            raise ValueError(
+                f"batch of {rows} frame rows (batch_size x clip frames) "
+                f"is not divisible by the {n_dev}-device mesh; pick a "
+                f"batch_size so that batch_size * (1 + num_ref_frames) "
+                f"% devices == 0")
         from dfvod_tpu.parallel import shard_batch
         return shard_batch(batch, self.mesh, self.clip_parallel)
 

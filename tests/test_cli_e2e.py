@@ -119,3 +119,18 @@ class TestInferenceCLI:
         if content:
             parts = content.splitlines()[0].split()
             assert parts[0] == "Hand" and len(parts) == 6
+
+
+class TestVideoTrainLoop:
+    def test_transvod_pp_train_eval(self, coco_tree, tmp_path):
+        """Video path e2e: CocoVideoDataset clips -> frame batching ->
+        TransVOD++ -> key-frame criterion -> eval mAP."""
+        import dataclasses
+        from dfvod_tpu.cli.main import train_loop
+        out = tmp_path / "vid"
+        cfg = tiny_train_cfg(coco_tree, out, temporal_mode="transvod_pp",
+                             num_ref_frames=3)  # 8 clips x 4 frames = 32
+        stats = train_loop(cfg, video=True)
+        assert "mAP" in stats
+        lines = (out / "log.txt").read_text().splitlines()
+        assert len(lines) >= 2
