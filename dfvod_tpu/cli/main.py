@@ -28,6 +28,7 @@ from dfvod_tpu.utils.logging import (
     WandbLogger,
     append_log,
     dump_args,
+    setup_for_distributed,
 )
 
 
@@ -37,6 +38,7 @@ def train_loop(cfg, *, video: bool = False, resume: str = "",
                temporal_weights: str = "", spatial_weights: str = "",
                wandb_enabled: bool = False):
     np.random.seed(cfg.train.seed)
+    setup_for_distributed(jax.process_index() == 0)
     mesh = make_mesh()
     n_dev = len(mesh.devices.flatten())
     frames = (1 + cfg.model.num_ref_frames) if video else 1

@@ -127,6 +127,69 @@ class MaskBranch(nn.Module):
         return seg.reshape(B, Q, Hm, Wm)
 
 
+def postprocess_panoptic(pred_logits, mask_logits, is_thing_map,
+                         threshold: float = 0.85):
+    """Panoptic merge — ``PostProcessPanoptic`` (``segmentation.py:282+``),
+    host-side numpy (panoptic assembly is inherently per-image dynamic):
+    filter by confidence & no-object class, argmax over kept masks per
+    pixel, merge same-class stuff segments, drop empty segments.
+
+    Returns a list (per image) of (seg_id_map (H, W) int32, segments_info)
+    where segments_info = [{"id", "category_id", "isthing", "score"}].
+    """
+    import numpy as np
+    logits = np.asarray(pred_logits)
+    masks = np.asarray(mask_logits)
+    B, Q, K = logits.shape
+    results = []
+    for b in range(B):
+        e = np.exp(logits[b] - logits[b].max(-1, keepdims=True))
+        probs = e / e.sum(-1, keepdims=True)
+        scores, labels = probs.max(-1), probs.argmax(-1)
+        keep = (labels != K - 1) & (scores > threshold)
+        scores, labels = scores[keep], labels[keep]
+        m = masks[b][keep]                                # (n, H, W)
+        if len(m) == 0:
+            results.append((np.zeros(masks.shape[-2:], np.int32), []))
+            continue
+        # merge same-class stuff segments by summing mask logits
+        merged, seg_labels, seg_scores = [], [], []
+        stuff_slot = {}
+        for k in range(len(m)):
+            lab = int(labels[k])
+            if is_thing_map.get(lab, True):
+                merged.append(m[k])
+                seg_labels.append(lab)
+                seg_scores.append(float(scores[k]))
+            elif lab in stuff_slot:
+                merged[stuff_slot[lab]] = merged[stuff_slot[lab]] + m[k]
+            else:
+                stuff_slot[lab] = len(merged)
+                merged.append(m[k])
+                seg_labels.append(lab)
+                seg_scores.append(float(scores[k]))
+        stack = np.stack(merged)                          # (n', H, W)
+        # panoptic semantics: every pixel belongs to the argmax segment
+        # (the reference's per-pixel softmax argmax over mask logits);
+        # tiny segments are dropped afterwards
+        assign = stack.argmax(0)
+        seg_map = np.zeros(assign.shape, np.int32)
+        infos = []
+        next_id = 1
+        for k in range(len(merged)):
+            area = int((assign == k).sum())
+            if area <= 4:  # reference drops tiny segments
+                continue
+            seg_map[assign == k] = next_id
+            infos.append({"id": next_id, "category_id": seg_labels[k],
+                          "isthing": bool(is_thing_map.get(
+                              seg_labels[k], True)),
+                          "score": seg_scores[k], "area": area})
+            next_id += 1
+        results.append((seg_map, infos))
+    return results
+
+
 def postprocess_segm(mask_logits, target_sizes, threshold: float = 0.5):
     """``PostProcessSegm`` (``segmentation.py:259-280``): upsample mask
     logits to the padded input size, threshold at 0.5. Static-shape

@@ -97,6 +97,21 @@ class MetricLogger:
               f"({total / max(i, 1):.4f} s / it)")
 
 
+def setup_for_distributed(is_master: bool):
+    """Master-only printing (``util/misc.py:385-397``): on multi-host runs,
+    non-zero processes print only lines forced with ``print(..., force=True)``."""
+    import builtins
+    if is_master:
+        return
+    builtin_print = builtins.print
+
+    def print_(*args, **kwargs):
+        if kwargs.pop("force", False):
+            builtin_print(*args, **kwargs)
+
+    builtins.print = print_
+
+
 def dump_args(cfg, output_dir: str):
     """``args.yaml`` dump (``main.py:648-653``) — plain key: value lines,
     no yaml dependency."""

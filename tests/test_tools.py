@@ -130,3 +130,31 @@ class TestSegmentation:
             {"epoch": 1, "train_loss": 0.5}) + "\n")
         viz.plot_logs([str(d)], path=str(tmp_path / "curves.png"))
         assert (tmp_path / "curves.png").exists()
+
+
+class TestPanoptic:
+    def test_postprocess_panoptic_merges_stuff(self, rng):
+        from dfvod_tpu.models.segmentation import postprocess_panoptic
+        B, Q, K, H, W = 1, 4, 3, 8, 8
+        logits = np.full((B, Q, K), -8.0, np.float32)
+        # q0: thing class 0 high conf; q1+q2: stuff class 1; q3: no-object
+        logits[0, 0, 0] = 8.0
+        logits[0, 1, 1] = 8.0
+        logits[0, 2, 1] = 8.0
+        logits[0, 3, 2] = 8.0
+        masks = np.full((B, Q, H, W), -10.0, np.float32)
+        masks[0, 0, :4] = 10.0        # top half = thing
+        masks[0, 1, 4:, :4] = 10.0    # bottom-left = stuff
+        masks[0, 2, 4:, 4:] = 10.0    # bottom-right = same stuff class
+        out = postprocess_panoptic(logits, masks,
+                                   is_thing_map={0: True, 1: False},
+                                   threshold=0.5)
+        seg_map, infos = out[0]
+        # 2 segments: one thing + one merged stuff
+        assert len(infos) == 2
+        cats = sorted(i["category_id"] for i in infos)
+        assert cats == [0, 1]
+        stuff = [i for i in infos if i["category_id"] == 1][0]
+        assert stuff["area"] == 32  # merged bottom half
+        assert not stuff["isthing"]
+        assert set(np.unique(seg_map)) <= {0, 1, 2}
