@@ -120,6 +120,38 @@ def corner_indices_weights(spatial_shapes, sampling_locations,
     return jnp.concatenate(idxs, -1), jnp.concatenate(ws, -1)
 
 
+@functools.lru_cache(maxsize=None)
+def _take_rows_op(BM: int, S: int):
+    """Row gather from a flat (BM*S, D) table with a hand-written VJP:
+    the cotangent w.r.t. the table is computed as a blocked one-hot^T
+    matmul on the MXU instead of XLA's scatter-add (measured 1.3 ms vs
+    3.8 ms at the production encoder shape — the col2im side of the CUDA
+    kernel, ``ms_deform_im2col_cuda.cuh:301-921``, done MXU-style)."""
+
+    @jax.custom_vjp
+    def take_rows(table, gidx_local):
+        """table (BM*S, D); gidx_local (BM, LqK) indices into each block's
+        S rows. Returns (BM, LqK, D)."""
+        off = (jnp.arange(BM, dtype=jnp.int32) * S)[:, None]
+        g = jnp.take(table, (gidx_local + off).reshape(-1), axis=0)
+        return g.reshape(BM, gidx_local.shape[1], -1)
+
+    def fwd(table, gidx_local):
+        return take_rows(table, gidx_local), gidx_local
+
+    def bwd(gidx_local, go):
+        # grad_table[b*S + s, d] = sum_k [gidx[b, k] == s] * go[b, k, d]
+        iota = jnp.arange(S, dtype=jnp.int32)
+        compute = go.dtype
+        oh = (gidx_local[:, :, None] == iota).astype(compute)  # (BM,LqK,S)
+        grad = jnp.einsum("bks,bkd->bsd", oh, go,
+                          preferred_element_type=jnp.float32)
+        return grad.reshape(BM * S, -1).astype(compute), None
+
+    take_rows.defvjp(fwd, bwd)
+    return take_rows
+
+
 def ms_deform_attn_flat(value, spatial_shapes, sampling_locations,
                         attention_weights):
     """MSDA as ONE row-gather from a flat (B*M*S, D) table — the fast TPU
@@ -143,9 +175,7 @@ def ms_deform_attn_flat(value, spatial_shapes, sampling_locations,
     idx_q = idx.transpose(0, 2, 1, 3).reshape(B * M, Lq * K)
     wt_q = wt.transpose(0, 2, 1, 3).reshape(B * M, Lq, K)
     table = value.transpose(0, 2, 1, 3).reshape(B * M * S, D)
-    gidx = (idx_q + (jnp.arange(B * M, dtype=jnp.int32) * S)[:, None]
-            ).reshape(-1)
-    g = jnp.take(table, gidx, axis=0).reshape(B * M, Lq, K, D)
+    g = _take_rows_op(B * M, S)(table, idx_q).reshape(B * M, Lq, K, D)
     out = jnp.einsum("bqk,bqkd->bqd", wt_q.astype(g.dtype), g,
                      preferred_element_type=value.dtype)
     return out.reshape(B, M, Lq, D).transpose(0, 2, 1, 3).reshape(

@@ -158,3 +158,42 @@ class TestPanoptic:
         assert stuff["area"] == 32  # merged bottom half
         assert not stuff["isthing"]
         assert set(np.unique(seg_map)) <= {0, 1, 2}
+
+
+class TestYoloEval:
+    def _write(self, d, name, lines):
+        (d / name).write_text("\n".join(lines) + "\n")
+
+    def test_perfect_predictions(self, tmp_path):
+        from dfvod_tpu.tools.yolo_eval import evaluate_yolo_dirs
+        gt = tmp_path / "gt"; pr = tmp_path / "pred"
+        gt.mkdir(); pr.mkdir()
+        self._write(gt, "a.txt", ["Hand 0.5 0.5 0.2 0.2"])
+        self._write(pr, "a.txt", ["Hand 0.5 0.5 0.2 0.2 0.9"])
+        s = evaluate_yolo_dirs(str(gt), str(pr))
+        assert s["ap50"] == 1.0 and s["f1"] == 1.0
+
+    def test_fp_and_miss(self, tmp_path):
+        from dfvod_tpu.tools.yolo_eval import evaluate_yolo_dirs
+        gt = tmp_path / "gt"; pr = tmp_path / "pred"
+        gt.mkdir(); pr.mkdir()
+        self._write(gt, "a.txt", ["Hand 0.5 0.5 0.2 0.2",
+                                  "Hand 0.2 0.2 0.1 0.1"])
+        # one hit (high score), one far-away FP (low score)
+        self._write(pr, "a.txt", ["Hand 0.5 0.5 0.2 0.2 0.9",
+                                  "Hand 0.8 0.8 0.1 0.1 0.3"])
+        s = evaluate_yolo_dirs(str(gt), str(pr))
+        # AP: recall caps at 0.5 with precision 1 -> ~0.5
+        assert abs(s["ap50"] - 0.5) < 0.02
+        assert s["recall"] == 0.5 and s["precision"] == 1.0
+
+    def test_duplicate_counts_once(self, tmp_path):
+        from dfvod_tpu.tools.yolo_eval import evaluate_yolo_dirs
+        gt = tmp_path / "gt"; pr = tmp_path / "pred"
+        gt.mkdir(); pr.mkdir()
+        self._write(gt, "a.txt", ["Hand 0.5 0.5 0.2 0.2"])
+        self._write(pr, "a.txt", ["Hand 0.5 0.5 0.2 0.2 0.9",
+                                  "Hand 0.5 0.5 0.2 0.2 0.8"])
+        s = evaluate_yolo_dirs(str(gt), str(pr))
+        assert s["recall"] == 1.0  # second is FP, first matched
+        assert s["f1"] == 1.0      # best threshold excludes the dup
