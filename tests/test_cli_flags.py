@@ -1,0 +1,50 @@
+"""CLI flag-surface tests: reference flag names parse into the typed
+Config correctly (``main.py:31-194`` / ``main_multi.py:28-177`` parity)."""
+from dfvod_tpu.cli.flags import config_from_args, get_args_parser
+
+
+def parse(argv, video=False):
+    args = get_args_parser(video=video).parse_args(argv)
+    return args, config_from_args(args, video=video)
+
+
+class TestFlags:
+    def test_defaults_match_reference(self):
+        _, cfg = parse([])
+        assert cfg.model.hidden_dim == 256
+        assert cfg.model.num_queries == 300
+        assert cfg.model.num_feature_levels == 1
+        assert cfg.train.lr == 1e-4
+        assert cfg.train.weight_decay == 2e-5
+        assert cfg.model.temporal_mode == "none"
+
+    def test_fusion_forces_depth_everywhere(self):
+        _, cfg = parse(["--fusion_type", "LateFusion"])
+        assert cfg.model.use_depth and cfg.data.use_depth
+
+    def test_video_mode_dispatch(self):
+        # mirrors models/__init__.py:16-24: dataset_file string selects
+        # TransVOD vs TransVOD++
+        _, cfg = parse(["--dataset_file", "vid_multi",
+                        "--num_ref_frames", "4"], video=True)
+        assert cfg.model.temporal_mode == "transvod"
+        assert cfg.model.num_ref_frames == 4
+        assert cfg.data.num_ref_frames == 4
+        _, cfg = parse(["--dataset_file", "vid_multi_plusplus"],
+                       video=True)
+        assert cfg.model.temporal_mode == "transvod_pp"
+
+    def test_training_knobs(self):
+        _, cfg = parse(["--lr", "1e-5", "--batch_size", "6",
+                        "--dropout", "0.2", "--epochs", "7", "--sgd",
+                        "--two_stage", "--remat", "--device_preprocess"])
+        assert cfg.train.lr == 1e-5
+        assert cfg.train.batch_size == 6
+        assert cfg.model.dropout == 0.2
+        assert cfg.train.sgd and cfg.model.two_stage
+        assert cfg.model.remat
+        assert cfg.data.device_preprocess
+
+    def test_no_aux_loss(self):
+        _, cfg = parse(["--no_aux_loss"])
+        assert not cfg.model.aux_loss
