@@ -180,3 +180,123 @@ class TestEncoderLayerParity:
             jnp.asarray(mask))
         np.testing.assert_allclose(np.asarray(got), ref_out,
                                    atol=2e-5, rtol=1e-4)
+
+
+class TorchDecoderLayer(tnn.Module):
+    """``DeformableTransformerDecoderLayer`` (``:596-648``)."""
+
+    def __init__(self, d_model, d_ffn, n_levels, n_heads, n_points):
+        super().__init__()
+        self.cross_attn = TorchMSDeformAttn(d_model, n_levels, n_heads,
+                                            n_points)
+        self.norm1 = tnn.LayerNorm(d_model)
+        self.self_attn = tnn.MultiheadAttention(d_model, n_heads,
+                                                dropout=0.0)
+        self.norm2 = tnn.LayerNorm(d_model)
+        self.linear1 = tnn.Linear(d_model, d_ffn)
+        self.linear2 = tnn.Linear(d_ffn, d_model)
+        self.norm3 = tnn.LayerNorm(d_model)
+
+    def forward(self, tgt, query_pos, ref, src, shapes):
+        q = k = (tgt + query_pos).transpose(0, 1)
+        tgt2 = self.self_attn(q, k, tgt.transpose(0, 1))[0].transpose(0, 1)
+        tgt = self.norm2(tgt + tgt2)
+        tgt2 = self.cross_attn(tgt + query_pos, ref, src, shapes)
+        tgt = self.norm1(tgt + tgt2)
+        tgt2 = self.linear2(F.relu(self.linear1(tgt)))
+        return self.norm3(tgt + tgt2)
+
+
+class TorchDepthFusionLayer(tnn.Module):
+    """``DepthDeformableTransformerEncoderLayer``
+    (``deformable_transformer_single.py:341-402``)."""
+
+    def __init__(self, d_model, n_heads, n_points):
+        super().__init__()
+        self.cross_attn = TorchMSDeformAttn(d_model, 1, n_heads, n_points)
+        self.norm1 = tnn.LayerNorm(d_model)
+        self.linear1 = tnn.Linear(d_model, d_model)
+        self.norm3 = tnn.LayerNorm(d_model)
+        self.depth_scale_adapt = tnn.Linear(d_model, d_model)
+        self.norm_depth_scale = tnn.LayerNorm(d_model)
+        self.cross_scale_adapt = tnn.Linear(d_model, d_model)
+
+    def forward(self, tgt, query_pos, ref, src, src_shapes):
+        src = self.norm_depth_scale(self.depth_scale_adapt(src))
+        tgt2 = self.cross_attn(tgt + query_pos, ref, src, src_shapes)
+        tgt2 = self.cross_scale_adapt(tgt2)
+        tgt = self.norm1(tgt + tgt2)
+        tgt2 = F.gelu(self.linear1(tgt))
+        return self.norm3(tgt + tgt2)
+
+
+class TestDecoderLayerParity:
+    def test_full_chain(self, rng):
+        import jax.numpy as jnp
+        from dfvod_tpu.models.transformer import (
+            DeformableTransformerDecoderLayer,
+        )
+        from dfvod_tpu.utils.convert_reference import (
+            convert_reference_state_dict,
+        )
+        C, M, P, Q = 32, 4, 4, 12
+        src, pos, _, shapes = make_inputs(rng, C=C, M=M, P=P)
+        B, S, _ = src.shape
+        tgt = rng.standard_normal((B, Q, C)).astype(np.float32)
+        qpos = rng.standard_normal((B, Q, C)).astype(np.float32)
+        ref = rng.uniform(0.1, 0.9, (B, Q, 1, 2)).astype(np.float32)
+        tl = TorchDecoderLayer(C, 64, len(shapes), M, P).eval()
+        with torch.no_grad():
+            tl.cross_attn.sampling_offsets.weight.normal_(0, 0.02)
+            tl.cross_attn.attention_weights.weight.normal_(0, 0.2)
+            ref_out = tl(torch.from_numpy(tgt), torch.from_numpy(qpos),
+                         torch.from_numpy(ref), torch.from_numpy(src),
+                         shapes).numpy()
+        sd = {f"transformer.decoder.layers.0.{k}": v.detach().numpy()
+              for k, v in tl.state_dict().items()}
+        params, _, unmapped = convert_reference_state_dict(sd,
+                                                           verbose=False)
+        assert unmapped == []
+        layer = DeformableTransformerDecoderLayer(
+            d_model=C, d_ffn=64, dropout=0.0, n_levels=len(shapes),
+            n_heads=M, n_points=P)
+        got = layer.apply(
+            {"params": params["transformer"]["decoder_layers_0"]},
+            jnp.asarray(tgt), jnp.asarray(qpos), jnp.asarray(ref),
+            jnp.asarray(src), shapes)
+        np.testing.assert_allclose(np.asarray(got), ref_out,
+                                   atol=2e-5, rtol=1e-4)
+
+
+class TestDepthFusionLayerParity:
+    def test_latefusion_layer(self, rng):
+        import jax.numpy as jnp
+        from dfvod_tpu.models.transformer import DepthFusionLayer
+        from dfvod_tpu.utils.convert_reference import (
+            convert_reference_state_dict,
+        )
+        C, M, P = 32, 4, 4
+        rgb, pos, ref, shapes = make_inputs(rng, C=C, M=M, P=P)
+        depth_shapes = shapes
+        depth = rng.standard_normal(rgb.shape).astype(np.float32)
+        tl = TorchDepthFusionLayer(C, M, P).eval()
+        with torch.no_grad():
+            tl.cross_attn.sampling_offsets.weight.normal_(0, 0.02)
+            tl.cross_attn.attention_weights.weight.normal_(0, 0.2)
+            ref_out = tl(torch.from_numpy(rgb), torch.from_numpy(pos),
+                         torch.from_numpy(ref), torch.from_numpy(depth),
+                         depth_shapes).numpy()
+        sd = {f"transformer.depth_encoder_layer.{k}": v.detach().numpy()
+              for k, v in tl.state_dict().items()}
+        params, _, unmapped = convert_reference_state_dict(sd,
+                                                           verbose=False)
+        assert unmapped == []
+        layer = DepthFusionLayer(d_model=C, dropout=0.0, n_levels=1,
+                                 n_heads=M, n_points=P,
+                                 ffn_activation="gelu")
+        got = layer.apply(
+            {"params": params["transformer"]["depth_encoder_layer"]},
+            jnp.asarray(rgb), jnp.asarray(pos), jnp.asarray(ref),
+            jnp.asarray(depth), depth_shapes)
+        np.testing.assert_allclose(np.asarray(got), ref_out,
+                                   atol=2e-5, rtol=1e-4)
