@@ -300,3 +300,137 @@ class TestDepthFusionLayerParity:
             jnp.asarray(depth), depth_shapes)
         np.testing.assert_allclose(np.asarray(got), ref_out,
                                    atol=2e-5, rtol=1e-4)
+
+
+class TorchTQELayer(tnn.Module):
+    """``TemporalQueryEncoderLayer``
+    (``deformable_transformer_multi.py:560-610``)."""
+
+    def __init__(self, d_model, d_ffn, n_heads):
+        super().__init__()
+        self.self_attn = tnn.MultiheadAttention(d_model, n_heads,
+                                                dropout=0.0)
+        self.norm2 = tnn.LayerNorm(d_model)
+        self.cross_attn = tnn.MultiheadAttention(d_model, n_heads,
+                                                 dropout=0.0)
+        self.norm1 = tnn.LayerNorm(d_model)
+        self.linear1 = tnn.Linear(d_model, d_ffn)
+        self.linear2 = tnn.Linear(d_ffn, d_model)
+        self.norm3 = tnn.LayerNorm(d_model)
+
+    def forward(self, query, ref_query):
+        q = k = query.transpose(0, 1)
+        t2 = self.self_attn(q, k, query.transpose(0, 1))[0].transpose(0, 1)
+        tgt = self.norm2(query + t2)
+        t2 = self.cross_attn(tgt.transpose(0, 1),
+                             ref_query.transpose(0, 1),
+                             ref_query.transpose(0, 1))[0].transpose(0, 1)
+        tgt = self.norm1(tgt + t2)
+        t2 = self.linear2(F.relu(self.linear1(tgt)))
+        return self.norm3(tgt + t2)
+
+
+class TorchDynamicConv(tnn.Module):
+    """``sparse_roi_head/head.py:127-172`` (dim_dynamic=64, 2 kernels)."""
+
+    def __init__(self, d_model, dim_dynamic=64, pooler=7):
+        super().__init__()
+        self.d, self.dd = d_model, dim_dynamic
+        self.num_params = d_model * dim_dynamic
+        self.dynamic_layer = tnn.Linear(d_model, 2 * self.num_params)
+        self.norm1 = tnn.LayerNorm(dim_dynamic)
+        self.norm2 = tnn.LayerNorm(d_model)
+        self.out_layer = tnn.Linear(d_model * pooler ** 2, d_model)
+        self.norm3 = tnn.LayerNorm(d_model)
+
+    def forward(self, pro, roi):
+        # pro (1, NR, C); roi (49, NR, C)
+        feats = roi.permute(1, 0, 2)
+        params = self.dynamic_layer(pro).permute(1, 0, 2)
+        p1 = params[:, :, :self.num_params].view(-1, self.d, self.dd)
+        p2 = params[:, :, self.num_params:].view(-1, self.dd, self.d)
+        feats = F.relu(self.norm1(torch.bmm(feats, p1)))
+        feats = F.relu(self.norm2(torch.bmm(feats, p2)))
+        feats = self.out_layer(feats.flatten(1))
+        return F.relu(self.norm3(feats))
+
+
+class TorchRCNNHead(tnn.Module):
+    """``sparse_roi_head/head.py:31-83`` with dropout 0."""
+
+    def __init__(self, d_model, pooler=7):
+        super().__init__()
+        self.d_model = d_model
+        self.self_attn = tnn.MultiheadAttention(d_model, 8, dropout=0.0)
+        self.inst_interact = TorchDynamicConv(d_model, pooler=pooler)
+        self.linear1 = tnn.Linear(d_model, 2048)
+        self.linear2 = tnn.Linear(2048, d_model)
+        self.norm1 = tnn.LayerNorm(d_model)
+        self.norm2 = tnn.LayerNorm(d_model)
+        self.norm3 = tnn.LayerNorm(d_model)
+
+    def forward(self, roi_features, pro_features):
+        # roi_features (49, N*R, C); pro_features (N, R, C)
+        N, R = pro_features.shape[:2]
+        pro = pro_features.view(N, R, self.d_model).permute(1, 0, 2)
+        pro2 = self.self_attn(pro, pro, value=pro)[0]
+        pro = self.norm1(pro + pro2)
+        pro = pro.view(R, N, self.d_model).permute(1, 0, 2).reshape(
+            1, N * R, self.d_model)
+        pro2 = self.inst_interact(pro, roi_features)
+        obj = self.norm2(pro + pro2)
+        obj2 = self.linear2(F.relu(self.linear1(obj)))
+        return self.norm3(obj + obj2)
+
+
+class TestTemporalParity:
+    def test_tqe_layer(self, rng):
+        import jax.numpy as jnp
+        from dfvod_tpu.models.temporal import TemporalQueryEncoderLayer
+        from dfvod_tpu.utils.convert_reference import (
+            convert_reference_state_dict,
+        )
+        C, M = 32, 4
+        B, Q, R = 2, 6, 10
+        q = rng.standard_normal((B, Q, C)).astype(np.float32)
+        r = rng.standard_normal((B, R, C)).astype(np.float32)
+        tl = TorchTQELayer(C, 64, M).eval()
+        with torch.no_grad():
+            ref_out = tl(torch.from_numpy(q), torch.from_numpy(r)).numpy()
+        sd = {f"transformer.temporal_query_layer1.{k}": v.detach().numpy()
+              for k, v in tl.state_dict().items()}
+        params, _, unmapped = convert_reference_state_dict(sd,
+                                                           verbose=False)
+        assert unmapped == []
+        layer = TemporalQueryEncoderLayer(C, 64, 0.0, M)
+        got = layer.apply({"params": params["temporal_query_layer1"]},
+                          jnp.asarray(q), jnp.asarray(r))
+        np.testing.assert_allclose(np.asarray(got), ref_out, atol=2e-5,
+                                   rtol=1e-4)
+
+    def test_rcnn_head_qrf(self, rng):
+        import jax.numpy as jnp
+        from dfvod_tpu.models.temporal import RCNNHead
+        from dfvod_tpu.utils.convert_reference import (
+            convert_reference_state_dict,
+        )
+        C, B, R, P = 32, 2, 5, 7
+        pro = rng.standard_normal((B, R, C)).astype(np.float32)
+        roi = rng.standard_normal((B, R, P, P, C)).astype(np.float32)
+        tl = TorchRCNNHead(C, pooler=P).eval()
+        with torch.no_grad():
+            # torch contract: roi (P*P, N*R, C)
+            roi_t = torch.from_numpy(
+                roi.reshape(B * R, P * P, C).transpose(1, 0, 2))
+            ref_out = tl(roi_t, torch.from_numpy(pro)).numpy()
+        ref_out = ref_out.reshape(B, R, C)
+        sd = {f"transformer.dynamic_layer_for_current_query1.{k}":
+              v.detach().numpy() for k, v in tl.state_dict().items()}
+        params, _, unmapped = convert_reference_state_dict(sd,
+                                                           verbose=False)
+        assert unmapped == []
+        head = RCNNHead(C, pooler_resolution=P)
+        got = head.apply({"params": params["qrf_dynamic_layer1"]},
+                         jnp.asarray(roi), jnp.asarray(pro))
+        np.testing.assert_allclose(np.asarray(got), ref_out, atol=2e-5,
+                                   rtol=1e-4)
