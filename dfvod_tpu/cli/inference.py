@@ -108,7 +108,8 @@ class DeformableDETRInference:
         if self.variables is None:
             self._init_variables(images, mask)
         logits, boxes = self._fwd(self.variables, images, mask)
-        logits, boxes = np.asarray(logits[0]), np.asarray(boxes[0])
+        logits = np.asarray(logits[0], dtype=np.float32)
+        boxes = np.asarray(boxes[0], dtype=np.float32)
         # softmax + hand-class (1) threshold (``inference.py:918-922``)
         e = np.exp(logits - logits.max(-1, keepdims=True))
         probs = e / e.sum(-1, keepdims=True)
