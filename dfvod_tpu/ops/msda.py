@@ -210,16 +210,17 @@ def ms_deform_attn_xla(value, spatial_shapes, sampling_locations,
 
 
 @functools.lru_cache(maxsize=None)
-def _pallas_with_xla_grad(spatial_shapes):
+def _pallas_with_xla_grad(spatial_shapes, onehot: bool = False):
     """Pallas forward + XLA-VJP backward (the col2im scatter-add gradient,
     ``ms_deform_im2col_cuda.cuh:301-921``, falls out of autodiff on the
-    XLA path)."""
+    flat path with its custom one-hot^T cotangent)."""
     from dfvod_tpu.ops import msda_pallas
+    fwd_impl = (msda_pallas.ms_deform_attn_pallas_onehot if onehot
+                else msda_pallas.ms_deform_attn_pallas)
 
     @jax.custom_vjp
     def f(value, loc, attw):
-        return msda_pallas.ms_deform_attn_pallas(
-            value, spatial_shapes, loc, attw)
+        return fwd_impl(value, spatial_shapes, loc, attw)
 
     def fwd(value, loc, attw):
         return f(value, loc, attw), (value, loc, attw)
@@ -227,7 +228,7 @@ def _pallas_with_xla_grad(spatial_shapes):
     def bwd(res, g):
         value, loc, attw = res
         _, vjp = jax.vjp(
-            lambda v, l, a: ms_deform_attn_xla(v, spatial_shapes, l, a),
+            lambda v, l, a: ms_deform_attn_flat(v, spatial_shapes, l, a),
             value, loc, attw)
         return vjp(g)
 
@@ -255,18 +256,30 @@ def ms_deform_attn(value, spatial_shapes, sampling_locations,
     if impl == "auto":
         import os
         impl = os.environ.get("DFVOD_MSDA_IMPL", "")
-        if impl not in ("xla", "flat", "pallas"):
-            # TPU: flat-table gather (3.6x faster lowering, bit-exact);
-            # CPU/GPU: the per-level gather path
+        if impl not in ("xla", "flat", "pallas", "pallas_onehot"):
+            # TPU + bf16 values (serving mode): the gather-free Pallas
+            # one-hot kernel (1.35x over flat, bf16-exact); TPU + f32:
+            # flat-table gather (bit-exact); CPU/GPU: per-level gather
             import jax.extend.backend
             platform = jax.extend.backend.get_backend().platform
-            impl = "flat" if platform in ("tpu", "axon") else "xla"
+            if platform in ("tpu", "axon"):
+                from dfvod_tpu.ops import msda_pallas
+                if msda_pallas.onehot_supported(value, spatial_shapes):
+                    impl = "pallas_onehot"
+                else:
+                    impl = "flat"
+            else:
+                impl = "xla"
     if impl == "xla":
         return ms_deform_attn_xla(value, spatial_shapes, sampling_locations,
                                   attention_weights)
     if impl == "flat":
         return ms_deform_attn_flat(value, spatial_shapes,
                                    sampling_locations, attention_weights)
+    if impl == "pallas_onehot":
+        from dfvod_tpu.ops import msda_pallas
+        return _pallas_with_xla_grad(spatial_shapes, onehot=True)(
+            value, sampling_locations, attention_weights)
     if impl == "pallas":
         from dfvod_tpu.ops import msda_pallas
         # explicit opt-in still goes through the correctness probe: the

@@ -106,3 +106,32 @@ class TestCornerIndicesWeights:
         S = v.shape[1]
         idx, _ = corner_indices_weights(shapes, loc, w)
         assert int(idx.min()) >= 0 and int(idx.max()) < S
+
+
+class TestOnehotKernel:
+    def test_interpret_parity(self, rng):
+        from dfvod_tpu.ops.msda_pallas import ms_deform_attn_pallas_onehot
+        v, loc, w, shapes = make_inputs(rng)
+        ref = ms_deform_attn_xla(v, shapes, loc, w)
+        out = ms_deform_attn_pallas_onehot(v, shapes, loc, w,
+                                           interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_query_padding(self, rng):
+        from dfvod_tpu.ops.msda_pallas import ms_deform_attn_pallas_onehot
+        v, loc, w, shapes = make_inputs(rng, Lq=300)
+        ref = ms_deform_attn_xla(v, shapes, loc, w)
+        out = ms_deform_attn_pallas_onehot(v, shapes, loc, w,
+                                           interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_gating(self, rng):
+        """CPU + f32 values must not select the kernel."""
+        import jax.numpy as jnp
+        from dfvod_tpu.ops import msda_pallas
+        v, loc, w, shapes = make_inputs(rng, Lq=8)
+        assert not msda_pallas.onehot_supported(v, shapes)  # f32
+        assert not msda_pallas.onehot_supported(
+            v.astype(jnp.bfloat16), shapes)  # CPU platform
