@@ -66,6 +66,48 @@ def _onehot_kernel(iota_ref, idx_ref, w_ref, value_ref, out_ref):
         preferred_element_type=jnp.float32).astype(out_ref.dtype)
 
 
+def onehot_sample(v_bm, idx_bm, w_bm, interpret: bool = False):
+    """Generic gather-free weighted sampling: out[b, q] = sum_k
+    w[b, q, k] * v[b, idx[b, q, k]] via the one-hot kernel.
+
+    v_bm (BM, S, D); idx_bm/w_bm (BM, Lq, K). Returns (BM, Lq, D).
+    Used by MSDA (K = L*P*4 corners) and RoIAlign (K = 4 corners per
+    sample point).
+    """
+    BM, S, D = v_bm.shape
+    _, Lq, K = idx_bm.shape
+    Lq_pad = -(-Lq // _TQ_OH) * _TQ_OH
+    if Lq_pad != Lq:
+        pad = ((0, 0), (0, Lq_pad - Lq), (0, 0))
+        idx_bm = jnp.pad(idx_bm, pad)
+        w_bm = jnp.pad(w_bm, pad)
+    iota = jnp.arange(S, dtype=jnp.int32)[None]
+    out = pl.pallas_call(
+        _onehot_kernel,
+        grid=(BM, Lq_pad // _TQ_OH),
+        in_specs=[
+            pl.BlockSpec((1, S), lambda bm, q: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TQ_OH, K), lambda bm, q: (bm, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TQ_OH, K), lambda bm, q: (bm, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, D), lambda bm, q: (bm, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _TQ_OH, D), lambda bm, q: (bm, q, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BM, Lq_pad, D), v_bm.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * BM * Lq_pad * S * D + 2 * BM * Lq_pad * K * S,
+            bytes_accessed=BM * (S * D * v_bm.dtype.itemsize
+                                 + Lq_pad * K * 8),
+            transcendentals=0),
+    )(iota, idx_bm, w_bm, v_bm)
+    return out[:, :Lq]
+
+
 def ms_deform_attn_pallas_onehot(value, spatial_shapes, sampling_locations,
                                  attention_weights,
                                  interpret: bool = False):
