@@ -20,9 +20,21 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
+
+# persistent compilation cache: the two model compiles dominate bench
+# wall-clock (~5 min cold); warm re-runs take seconds
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      ".jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _CACHE)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -46,7 +58,7 @@ def _rpc_cost() -> float:
 
 
 def measure(model_cfg: ModelConfig, batch_frames: int, rng,
-            iters: int = 20):
+            iters: int = 15):
     """Returns (frames/sec, sec/forward) for one config."""
     model, _, _ = build_model(Config(model=model_cfg))
     imgs_u8 = jnp.asarray(
@@ -80,7 +92,35 @@ def measure(model_cfg: ModelConfig, batch_frames: int, rng,
     return batch_frames / dt, dt
 
 
+def _emit(fps_single, dt_single, fps_clip=None, dt_clip=None):
+    value = (0.5 * (fps_single + fps_clip) if fps_clip is not None
+             else fps_single)
+    detail = {
+        "single_frame_latefusion_fps_b8": round(fps_single, 1),
+        "single_frame_batch8_ms": round(dt_single * 1e3, 3),
+        "resolution": [H, W],
+        "mode": "bf16 MXU, uint8 on-device preprocess, "
+                "fori_loop-chained timing (tunnel-safe)",
+        "device": str(jax.devices()[0]).split(":")[0],
+    }
+    if fps_clip is not None:
+        detail["transvod_pp_2frame_clip_fps_4clips"] = round(fps_clip, 1)
+        detail["clip_batch_latency_ms"] = round(dt_clip * 1e3, 3)
+    else:
+        detail["note"] = ("clip config skipped (timeout guard); value is "
+                          "single-frame only")
+    print(json.dumps({
+        "metric": "rgbd_frames_per_sec_per_chip",
+        "value": round(value, 1),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(value, 1),
+        "detail": detail,
+    }), flush=True)
+
+
 def main():
+    import signal
+    import sys
     rng = np.random.default_rng(0)
     lf = dict(use_depth=True, fusion_type="LateFusion",
               compute_dtype="bfloat16")
@@ -89,27 +129,20 @@ def main():
     fps_single, dt_single = measure(ModelConfig(**lf), batch_frames=8,
                                     rng=rng)
 
+    # timeout guard: if the harness SIGTERMs us during the (compile-heavy)
+    # clip measurement, still emit the single-frame result
+    def on_term(signum, frame):
+        _emit(fps_single, dt_single)
+        sys.exit(0)
+
+    signal.signal(signal.SIGTERM, on_term)
+
     # 2. TransVOD++ LateFusion: 4 clips x 2 frames per forward
     fps_clip, dt_clip = measure(
         ModelConfig(temporal_mode="transvod_pp", num_ref_frames=1, **lf),
         batch_frames=8, rng=rng)
-
-    value = 0.5 * (fps_single + fps_clip)
-    print(json.dumps({
-        "metric": "rgbd_frames_per_sec_per_chip",
-        "value": round(value, 1),
-        "unit": "frames/sec/chip",
-        "vs_baseline": round(value, 1),
-        "detail": {
-            "single_frame_latefusion_fps_b8": round(fps_single, 1),
-            "single_frame_batch8_ms": round(dt_single * 1e3, 3),
-            "transvod_pp_2frame_clip_fps_4clips": round(fps_clip, 1),
-            "clip_batch_latency_ms": round(dt_clip * 1e3, 3),
-            "resolution": [H, W],
-            "mode": "bf16 MXU, uint8 on-device preprocess, "
-                    "fori_loop-chained timing (tunnel-safe)",
-            "device": str(jax.devices()[0]).split(":")[0]},
-    }))
+    signal.signal(signal.SIGTERM, signal.SIG_DFL)
+    _emit(fps_single, dt_single, fps_clip, dt_clip)
 
 
 if __name__ == "__main__":
