@@ -70,13 +70,34 @@ class CocoDetectionDataset:
 
     def __init__(self, img_folder: str, ann_file: str, *,
                  use_depth: bool = False, train: bool = True,
-                 depth_folder: Optional[str] = None):
+                 depth_folder: Optional[str] = None,
+                 cache_mode: bool = False, cache_rank: int = 0,
+                 cache_world: int = 1):
         self.root = img_folder
         self.coco = COCO(ann_file)
         self.ids = sorted(self.coco.imgs)
         self.use_depth = use_depth
         self.train = train
         self.depth_folder = depth_folder
+        # in-RAM byte cache sharded across local workers
+        # (``torchvision_datasets/coco.py:51-58`` + NodeDistributedSampler
+        # pairing, ``datasets/samplers.py:75-139``)
+        self._cache: Optional[dict] = None
+        if cache_mode:
+            self._cache = {}
+            for i, img_id in enumerate(self.ids):
+                if i % cache_world != cache_rank:
+                    continue
+                info = self.coco.loadImgs(img_id)[0]
+                path = os.path.join(self.root, info["file_name"])
+                with open(path, "rb") as f:
+                    self._cache[img_id] = f.read()
+
+    def _open_rgb(self, img_id: int, path: str) -> Image.Image:
+        if self._cache is not None and img_id in self._cache:
+            import io
+            return Image.open(io.BytesIO(self._cache[img_id]))
+        return Image.open(path)
 
     def __len__(self):
         return len(self.ids)
@@ -84,7 +105,7 @@ class CocoDetectionDataset:
     def _load_frame(self, img_id: int) -> Sample:
         info = self.coco.loadImgs(img_id)[0]
         path = os.path.join(self.root, info["file_name"])
-        rgb = np.asarray(Image.open(path).convert("RGB"))
+        rgb = np.asarray(self._open_rgb(img_id, path).convert("RGB"))
         depth = None
         if self.use_depth:
             dpath = (os.path.join(self.depth_folder, info["file_name"])

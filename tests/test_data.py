@@ -198,3 +198,24 @@ class TestLoader:
         # batch dim = clips * (1 + num_ref_frames) frames
         assert b["image"].shape[0] == 2 * 3
         assert b["image"].shape[-1] == 4
+
+
+class TestCacheMode:
+    def test_cached_reads_match_disk(self, coco_dir):
+        root, ann = coco_dir
+        plain = CocoDetectionDataset(str(root), ann, use_depth=False)
+        cached = CocoDetectionDataset(str(root), ann, use_depth=False,
+                                      cache_mode=True)
+        for i in (0, 3):
+            a, b = plain[i][0], cached[i][0]
+            np.testing.assert_array_equal(a.rgb, b.rgb)
+            np.testing.assert_array_equal(a.boxes, b.boxes)
+
+    def test_cache_sharding(self, coco_dir):
+        root, ann = coco_dir
+        ds = CocoDetectionDataset(str(root), ann, cache_mode=True,
+                                  cache_rank=0, cache_world=2)
+        # half the images cached, the rest fall back to disk reads
+        assert 0 < len(ds._cache) < len(ds.ids)
+        s = ds[1][0]  # uncached index still loads
+        assert s.rgb.shape == (48, 64, 3)
