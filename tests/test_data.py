@@ -219,3 +219,35 @@ class TestCacheMode:
         assert 0 < len(ds._cache) < len(ds.ids)
         s = ds[1][0]  # uncached index still loads
         assert s.rgb.shape == (48, 64, 3)
+
+
+class TestLoaderErrors:
+    def test_worker_exception_propagates(self, coco_dir):
+        """Regression: a corrupt sample must raise in the consumer, not
+        silently end the epoch."""
+        root, ann = coco_dir
+        ds = CocoDetectionDataset(str(root), ann, use_depth=False)
+
+        class Broken:
+            def __len__(self):
+                return len(ds)
+
+            def __getitem__(self, i):
+                if i == 2:
+                    raise OSError("corrupt jpeg")
+                return ds[i]
+
+        loader = Loader(Broken(), EvalTransform(short_side=48, max_size=64),
+                        batch_size=2, max_boxes=4, shuffle=False,
+                        bucket_step=32, pad_cap=64)
+        with pytest.raises(OSError, match="corrupt jpeg"):
+            list(loader)
+
+    def test_first_batch_no_thread(self, coco_dir):
+        root, ann = coco_dir
+        ds = CocoDetectionDataset(str(root), ann, use_depth=False)
+        loader = Loader(ds, EvalTransform(short_side=48, max_size=64),
+                        batch_size=2, max_boxes=4, shuffle=False,
+                        bucket_step=32, pad_cap=64)
+        b = loader.first_batch()
+        assert b["image"].shape[0] == 2
