@@ -90,7 +90,10 @@ def flatten_levels(srcs, masks, pos_embeds, level_embed=None):
         if level_embed is not None:
             p = p + level_embed[lvl][None, None, :]
         pos_list.append(p)
-    pos_flat = jnp.concatenate(pos_list, axis=1)
+    # keep the compute dtype of the token stream: the sine embedding is
+    # built in f32, and letting it promote every pos-add downstream would
+    # silently run the whole encoder in f32 during bf16 serving
+    pos_flat = jnp.concatenate(pos_list, axis=1).astype(src_flat.dtype)
     return src_flat, mask_flat, pos_flat, spatial_shapes
 
 

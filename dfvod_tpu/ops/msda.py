@@ -210,13 +210,16 @@ def ms_deform_attn_xla(value, spatial_shapes, sampling_locations,
 
 
 @functools.lru_cache(maxsize=None)
-def _pallas_with_xla_grad(spatial_shapes, onehot: bool = False):
+def _pallas_with_xla_grad(spatial_shapes, variant: str = "gather"):
     """Pallas forward + XLA-VJP backward (the col2im scatter-add gradient,
     ``ms_deform_im2col_cuda.cuh:301-921``, falls out of autodiff on the
     flat path with its custom one-hot^T cotangent)."""
     from dfvod_tpu.ops import msda_pallas
-    fwd_impl = (msda_pallas.ms_deform_attn_pallas_onehot if onehot
-                else msda_pallas.ms_deform_attn_pallas)
+    fwd_impl = {
+        "gather": msda_pallas.ms_deform_attn_pallas,
+        "onehot": msda_pallas.ms_deform_attn_pallas_onehot,
+        "hat": msda_pallas.ms_deform_attn_pallas_hat,
+    }[variant]
 
     @jax.custom_vjp
     def f(value, loc, attw):
@@ -256,15 +259,20 @@ def ms_deform_attn(value, spatial_shapes, sampling_locations,
     if impl == "auto":
         import os
         impl = os.environ.get("DFVOD_MSDA_IMPL", "")
-        if impl not in ("xla", "flat", "pallas", "pallas_onehot"):
+        if impl not in ("xla", "flat", "pallas", "pallas_onehot",
+                        "pallas_hat"):
             # TPU + bf16 values (serving mode): the gather-free Pallas
-            # one-hot kernel (1.35x over flat, bf16-exact); TPU + f32:
-            # flat-table gather (bit-exact); CPU/GPU: per-level gather
+            # hat kernel (separable tent products; 2.4x over flat and
+            # 1.5x over the one-hot build at the B=8 encoder shape,
+            # bf16-exact); TPU + f32: flat-table gather (bit-exact);
+            # CPU/GPU: per-level gather
             import jax.extend.backend
             platform = jax.extend.backend.get_backend().platform
             if platform in ("tpu", "axon"):
                 from dfvod_tpu.ops import msda_pallas
-                if msda_pallas.onehot_supported(value, spatial_shapes):
+                if msda_pallas.hat_supported(value, spatial_shapes):
+                    impl = "pallas_hat"
+                elif msda_pallas.onehot_supported(value, spatial_shapes):
                     impl = "pallas_onehot"
                 else:
                     impl = "flat"
@@ -276,9 +284,13 @@ def ms_deform_attn(value, spatial_shapes, sampling_locations,
     if impl == "flat":
         return ms_deform_attn_flat(value, spatial_shapes,
                                    sampling_locations, attention_weights)
+    if impl == "pallas_hat":
+        from dfvod_tpu.ops import msda_pallas
+        return _pallas_with_xla_grad(spatial_shapes, variant="hat")(
+            value, sampling_locations, attention_weights)
     if impl == "pallas_onehot":
         from dfvod_tpu.ops import msda_pallas
-        return _pallas_with_xla_grad(spatial_shapes, onehot=True)(
+        return _pallas_with_xla_grad(spatial_shapes, variant="onehot")(
             value, sampling_locations, attention_weights)
     if impl == "pallas":
         from dfvod_tpu.ops import msda_pallas

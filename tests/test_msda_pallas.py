@@ -108,6 +108,55 @@ class TestCornerIndicesWeights:
         assert int(idx.min()) >= 0 and int(idx.max()) < S
 
 
+class TestHatKernel:
+    """Separable tent-product W build — the production bf16 kernel."""
+
+    def test_interpret_parity_multilevel(self, rng):
+        from dfvod_tpu.ops.msda_pallas import ms_deform_attn_pallas_hat
+        v, loc, w, shapes = make_inputs(rng)
+        ref = ms_deform_attn_xla(v, shapes, loc, w)
+        out = ms_deform_attn_pallas_hat(v, shapes, loc, w, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_query_padding(self, rng):
+        from dfvod_tpu.ops.msda_pallas import ms_deform_attn_pallas_hat
+        v, loc, w, shapes = make_inputs(rng, Lq=300)
+        ref = ms_deform_attn_xla(v, shapes, loc, w)
+        out = ms_deform_attn_pallas_hat(v, shapes, loc, w, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_out_of_bounds_zero_padding(self, rng):
+        """grid_sample zeros semantics: OOB corners contribute nothing,
+        straddling samples keep only the in-bounds corner weights."""
+        from dfvod_tpu.ops.msda_pallas import ms_deform_attn_pallas_hat
+        v, loc, w, shapes = make_inputs(rng, Lq=8)
+        loc = jnp.full_like(loc, 7.0)  # far outside every level
+        out = ms_deform_attn_pallas_hat(v, shapes, loc, w, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+    def test_level_boundary_isolation(self, rng):
+        """A sample at the bottom edge of level 0 must not bleed into
+        level 1's first rows through the flattened token axis."""
+        from dfvod_tpu.ops.msda_pallas import ms_deform_attn_pallas_hat
+        v, loc, w, shapes = make_inputs(rng, Lq=8)
+        # y just below the last row center of each level
+        loc = loc.at[..., 1].set(0.999)
+        ref = ms_deform_attn_xla(v, shapes, loc, w)
+        out = ms_deform_attn_pallas_hat(v, shapes, loc, w, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_gating(self, rng):
+        """CPU + f32 values must not select the kernel."""
+        from dfvod_tpu.ops import msda_pallas
+        v, loc, w, shapes = make_inputs(rng, Lq=8)
+        assert not msda_pallas.hat_supported(v, shapes)  # f32
+        assert not msda_pallas.hat_supported(
+            v.astype(jnp.bfloat16), shapes)  # CPU platform
+
+
 class TestOnehotKernel:
     def test_interpret_parity(self, rng):
         from dfvod_tpu.ops.msda_pallas import ms_deform_attn_pallas_onehot

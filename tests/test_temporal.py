@@ -64,6 +64,40 @@ class TestRoIAlign:
         assert np.isfinite(np.asarray(g)).all()
         assert float(jnp.abs(g).sum()) > 0
 
+    def test_pallas_hat_path_matches_xla(self, rng):
+        """The gather-free hat-kernel path (bf16 serving) must reproduce
+        the XLA flat-gather path, including border clamping and the
+        [-1, H] overshoot zeroing (interpret mode)."""
+        feat = jnp.asarray(rng.standard_normal((2, 9, 11, 8)), jnp.float32)
+        boxes = jnp.asarray(
+            [[[1.0, 1.5, 8.0, 7.0], [-3.0, -2.0, 2.0, 3.0],
+              [6.0, 4.0, 14.0, 12.0], [-40.0, 0.0, -20.0, 4.0]]] * 2,
+            jnp.float32)
+        ref = roi_align(feat, boxes, output_size=3, spatial_scale=1.0,
+                        sampling_ratio=2, impl="xla")
+        out = roi_align(feat, boxes, output_size=3, spatial_scale=1.0,
+                        sampling_ratio=2, impl="pallas_hat",
+                        interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_pallas_hat_qrf_shape(self, rng):
+        """Production QRF geometry (downscaled): many rois per frame."""
+        feat = jnp.asarray(rng.standard_normal((2, 10, 13, 16)),
+                           jnp.float32)
+        boxes = jnp.asarray(
+            rng.uniform(-8, 48, (2, 17, 4)), jnp.float32)
+        boxes = jnp.concatenate(
+            [jnp.minimum(boxes[..., :2], boxes[..., 2:]),
+             jnp.maximum(boxes[..., :2], boxes[..., 2:])], -1)
+        ref = roi_align(feat, boxes, output_size=7, spatial_scale=0.25,
+                        sampling_ratio=2, impl="xla")
+        out = roi_align(feat, boxes, output_size=7, spatial_scale=0.25,
+                        sampling_ratio=2, impl="pallas_hat",
+                        interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
 
 def tiny_cfg(mode, n_ref=2):
     model = ModelConfig(
@@ -129,6 +163,45 @@ class TestTemporalModels:
             {"pred_logits": out["pred_logits"],
              "pred_boxes": out["pred_boxes"],
              "aux_outputs": out["aux_outputs"]}, targets)
+        assert np.isfinite(float(total))
+
+    def test_two_stage_transvod_pp(self):
+        """two_stage + temporal head — a combination the reference never
+        exercises but the unified trunk must support (ROADMAP gap #5):
+        encoder proposals drive the decoder queries, the temporal rounds
+        run on top, and the key frame's enc_outputs stay available for
+        enc losses."""
+        import dataclasses
+        cfg = tiny_cfg("transvod_pp", n_ref=2)
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, two_stage=True))
+        model, criterion, _ = build_model(cfg)
+        F, B = 3, 1
+        rng = np.random.default_rng(2)
+        images = jnp.asarray(
+            rng.standard_normal((B * F, 64, 64, 3)), jnp.float32)
+        mask = jnp.zeros((B * F, 64, 64), bool)
+        variables = jax.jit(
+            lambda r: model.init(r, images, mask, train=False))(
+            jax.random.PRNGKey(0))
+        out = jax.jit(
+            lambda v: model.apply(v, images, mask, train=False))(variables)
+        Q = cfg.model.num_queries
+        assert out["pred_logits"].shape == (B, Q, 3)
+        assert np.isfinite(np.asarray(out["pred_boxes"])).all()
+        sf = out["_single_frame"]
+        assert "enc_outputs" in sf
+        assert sf["enc_outputs"]["pred_logits"].shape[0] == B
+
+        targets = {"labels": jnp.ones((B, 4), jnp.int32),
+                   "boxes": jnp.tile(jnp.array([.5, .5, .2, .2]),
+                                     (B, 4, 1)),
+                   "valid": jnp.tile(jnp.arange(4) < 2, (B, 1))}
+        total, _ = jax.jit(lambda o, t: criterion(o, t))(
+            {"pred_logits": out["pred_logits"],
+             "pred_boxes": out["pred_boxes"],
+             "aux_outputs": out["aux_outputs"],
+             "enc_outputs": sf["enc_outputs"]}, targets)
         assert np.isfinite(float(total))
 
     def test_transvod_forward(self):
