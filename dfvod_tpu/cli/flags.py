@@ -22,6 +22,9 @@ def get_args_parser(video: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--epochs", default=20, type=int)
     p.add_argument("--clip_max_norm", default=0.1, type=float)
     p.add_argument("--sgd", action="store_true")
+    p.add_argument("--num_devices", default=0, type=int,
+                   help="cap local devices in the mesh (0 = all); the "
+                        "launcher-side analog of --nproc_per_node")
     # model (``main.py:62-118``)
     p.add_argument("--backbone", default="resnet50", type=str)
     p.add_argument("--dilation", action="store_true", default=True)
@@ -66,6 +69,9 @@ def get_args_parser(video: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--max_boxes", default=64, type=int)
     p.add_argument("--device_preprocess", action="store_true",
                    help="ship uint8 frames; normalize on device")
+    p.add_argument("--cache_mode", action="store_true",
+                   help="cache the whole dataset in RAM, sharded per "
+                        "host (``main.py:158``)")
     p.add_argument("--remat", action="store_true",
                    help="jax.checkpoint encoder layers (less memory, "
                         "~1 extra forward in backward)")

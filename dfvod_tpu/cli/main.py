@@ -39,7 +39,9 @@ def train_loop(cfg, *, video: bool = False, resume: str = "",
                wandb_enabled: bool = False):
     np.random.seed(cfg.train.seed)
     setup_for_distributed(jax.process_index() == 0)
-    mesh = make_mesh()
+    devices = (jax.devices()[:cfg.train.num_devices]
+               if cfg.train.num_devices else None)
+    mesh = make_mesh(devices)
     n_dev = len(mesh.devices.flatten())
     frames = (1 + cfg.model.num_ref_frames) if video else 1
     print(f"devices: {n_dev} ({mesh.devices.flatten()[0].platform}), "

@@ -132,9 +132,12 @@ class CocoVideoDataset(CocoDetectionDataset):
     def __init__(self, img_folder: str, ann_file: str, *,
                  num_ref_frames: int = 3, use_depth: bool = False,
                  train: bool = True, depth_folder: Optional[str] = None,
-                 filter_key_img: bool = True):
+                 filter_key_img: bool = True, cache_mode: bool = False,
+                 cache_rank: int = 0, cache_world: int = 1):
         super().__init__(img_folder, ann_file, use_depth=use_depth,
-                         train=train, depth_folder=depth_folder)
+                         train=train, depth_folder=depth_folder,
+                         cache_mode=cache_mode, cache_rank=cache_rank,
+                         cache_world=cache_world)
         self.coco = CocoVID(ann_file)
         self.ids = sorted(self.coco.imgs)
         self.num_ref_frames = num_ref_frames
@@ -185,23 +188,44 @@ class CocoVideoDataset(CocoDetectionDataset):
 
 def build_dataset(image_set: str, cfg, temporal: bool = False):
     """``datasets/__init__.py:28-42`` equivalent: resolve the reference's
-    hard-coded path layout under ``coco_path``."""
+    hard-coded path layout under ``coco_path``. ``dataset_file='coco'``
+    selects the dormant plain-COCO layout (``datasets/coco.py:151-161``:
+    ``train2017/`` + ``annotations/instances_train2017.json``)."""
     data = cfg.data
     root = data.coco_path
-    paths = {
-        "train": (os.path.join(root, "coco", "images"),
-                  os.path.join(root, "coco", "annotations", "train.json")),
-        "val": (os.path.join(root, "coco", "images"),
-                os.path.join(root, "coco", "annotations", "val.json")),
-    }
+    if getattr(data, "dataset_file", "").startswith("coco"):
+        paths = {
+            "train": (os.path.join(root, "train2017"),
+                      os.path.join(root, "annotations",
+                                   "instances_train2017.json")),
+            "val": (os.path.join(root, "val2017"),
+                    os.path.join(root, "annotations",
+                                 "instances_val2017.json")),
+        }
+    else:
+        paths = {
+            "train": (os.path.join(root, "coco", "images"),
+                      os.path.join(root, "coco", "annotations",
+                                   "train.json")),
+            "val": (os.path.join(root, "coco", "images"),
+                    os.path.join(root, "coco", "annotations", "val.json")),
+        }
     img_folder, ann_file = paths[image_set]
     train = image_set == "train"
+    cache_kw = {}
+    if getattr(data, "cache_mode", False):
+        # shard the in-RAM cache across hosts like the reference pairs
+        # --cache_mode with NodeDistributedSampler (``main.py:249-251``)
+        import jax
+        cache_kw = dict(cache_mode=True, cache_rank=jax.process_index(),
+                        cache_world=jax.process_count())
     if temporal:
         return CocoVideoDataset(
             img_folder, ann_file, num_ref_frames=data.num_ref_frames,
-            use_depth=data.use_depth, train=train)
+            use_depth=data.use_depth, train=train, **cache_kw)
     return CocoDetectionDataset(img_folder, ann_file,
-                                use_depth=data.use_depth, train=train)
+                                use_depth=data.use_depth, train=train,
+                                **cache_kw)
 
 
 def make_transform(train: bool, cfg):

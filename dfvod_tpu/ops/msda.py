@@ -230,6 +230,11 @@ def _pallas_with_xla_grad(spatial_shapes, variant: str = "gather"):
 
     def bwd(res, g):
         value, loc, attw = res
+        if variant == "hat" and msda_pallas.hat_bwd_supported(value):
+            # all-MXU Pallas backward (G = go.v^T + tent derivatives +
+            # W^T.go accumulation) — no re-gather, no scatter-add
+            return msda_pallas.ms_deform_attn_pallas_hat_bwd(
+                value, spatial_shapes, loc, attw, g)
         _, vjp = jax.vjp(
             lambda v, l, a: ms_deform_attn_flat(v, spatial_shapes, l, a),
             value, loc, attw)

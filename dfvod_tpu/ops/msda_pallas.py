@@ -159,6 +159,134 @@ def _hat_coords(spatial_shapes):
     return np.concatenate(sxs), np.concatenate(sys_)
 
 
+_CS = 256  # token-chunk size of the sparse hat kernel
+
+
+def _hat_sparse_kernel_factory(nC, CS):
+    """Chunked hat kernel: the interpolation matrix W is >=95% zeros
+    (deformable sampling is local — trained offsets stay within the
+    object scale, and RoIAlign bins are local by construction), so the
+    token axis is split into ``nC`` chunks of ``CS`` and both the W
+    build and the matmul are skipped for chunks no sample point of the
+    query block touches. The activity bits are computed conservatively
+    outside (bounding-box test with the hat's support margin), so
+    skipping never changes the result — only data-dependent speed."""
+
+    def kernel(mask_ref, sx_ref, sy_ref, px_ref, py_ref, aw_ref,
+               value_ref, out_ref, acc_ref):
+        bm = pl.program_id(0)
+        q = pl.program_id(1)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        px = px_ref[0]                             # (TQ, PL)
+        py = py_ref[0]
+        aw = aw_ref[0]
+        PL = px.shape[1]
+        for c in range(nC):  # static unroll
+            @pl.when(mask_ref[bm, q, c] != 0)
+            def _(c=c):
+                sx = sx_ref[:, c * CS:(c + 1) * CS]      # (1, CS)
+                sy = sy_ref[:, c * CS:(c + 1) * CS]
+                hx = jnp.maximum(0.0, 1.0 - jnp.abs(px[:, 0:1] - sx))
+                hy = jnp.maximum(0.0, 1.0 - jnp.abs(py[:, 0:1] - sy))
+                W = (aw[:, 0:1] * hx) * hy
+                for p in range(1, PL):
+                    hx = jnp.maximum(
+                        0.0, 1.0 - jnp.abs(px[:, p:p + 1] - sx))
+                    hy = jnp.maximum(
+                        0.0, 1.0 - jnp.abs(py[:, p:p + 1] - sy))
+                    W = W + (aw[:, p:p + 1] * hx) * hy
+                acc_ref[...] += jax.lax.dot_general(
+                    W, value_ref[0, c * CS:(c + 1) * CS, :].astype(
+                        jnp.float32),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+        out_ref[0] = acc_ref[...].astype(out_ref.dtype)
+
+    return kernel
+
+
+def hat_sample_sparse(v_bm, sx_np, sy_np, px_bm, py_bm, aw_bm,
+                      interpret: bool = False, block_q: int = _TQ_OH):
+    """``hat_sample`` with chunk skipping. ``sx_np``/``sy_np`` must be
+    host numpy arrays (static token geometry) so the per-chunk coordinate
+    bounding boxes are compile-time constants.
+
+    NB a NaN sample coordinate deactivates every chunk (comparisons are
+    False), yielding 0 instead of NaN — matching the ``corner weight *
+    0-gather`` behavior only for finite inputs; serving inputs are
+    finite by construction."""
+    import numpy as np
+    BM, S, D = v_bm.shape
+    _, Lq, PL = px_bm.shape
+    CS = _CS
+    S_pad = -(-S // CS) * CS
+    nC = S_pad // CS
+    if S_pad != S:
+        v_bm = jnp.pad(v_bm, ((0, 0), (0, S_pad - S), (0, 0)))
+        # padded tokens sit far outside any hat support
+        sx_np = np.concatenate(
+            [sx_np, np.full(S_pad - S, -1e6, np.float32)])
+        sy_np = np.concatenate(
+            [sy_np, np.full(S_pad - S, -1e6, np.float32)])
+    Lq_pad = -(-Lq // block_q) * block_q
+    if Lq_pad != Lq:
+        pad = ((0, 0), (0, Lq_pad - Lq), (0, 0))
+        px_bm = jnp.pad(px_bm, pad, constant_values=-1e6)
+        py_bm = jnp.pad(py_bm, pad, constant_values=-1e6)
+        aw_bm = jnp.pad(aw_bm, pad)
+    nQ = Lq_pad // block_q
+
+    # conservative per-(program, chunk) activity: any sample point whose
+    # hat support intersects the chunk's coordinate bounding box
+    cb = np.arange(nC)[:, None] * CS + np.arange(CS)[None, :]
+    bx = sx_np[cb]
+    by = sy_np[cb]
+    minx, maxx = jnp.asarray(bx.min(1)), jnp.asarray(bx.max(1))  # (nC,)
+    miny, maxy = jnp.asarray(by.min(1)), jnp.asarray(by.max(1))
+    pxq = px_bm.reshape(BM, nQ, block_q, PL, 1)
+    pyq = py_bm.reshape(BM, nQ, block_q, PL, 1)
+    active = ((pxq > minx - 1.0) & (pxq < maxx + 1.0)
+              & (pyq > miny - 1.0) & (pyq < maxy + 1.0))
+    mask = jnp.any(active, axis=(2, 3)).astype(jnp.int32)  # (BM, nQ, nC)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(BM, nQ),
+        in_specs=[
+            pl.BlockSpec((1, S_pad), lambda bm, q, m: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S_pad), lambda bm, q, m: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, PL), lambda bm, q, m: (bm, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, PL), lambda bm, q, m: (bm, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, PL), lambda bm, q, m: (bm, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S_pad, D), lambda bm, q, m: (bm, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, D),
+                               lambda bm, q, m: (bm, q, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        _hat_sparse_kernel_factory(nC, CS),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((BM, Lq_pad, D), v_bm.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * BM * Lq_pad * S_pad * D
+            + 11 * BM * Lq_pad * PL * S_pad,
+            bytes_accessed=BM * (S_pad * D * v_bm.dtype.itemsize
+                                 + Lq_pad * PL * 12),
+            transcendentals=0),
+    )(mask, jnp.asarray(sx_np)[None], jnp.asarray(sy_np)[None],
+      px_bm, py_bm, aw_bm, v_bm)
+    return out[:, :Lq]
+
+
 def hat_sample(v_bm, sx, sy, px_bm, py_bm, aw_bm,
                interpret: bool = False, block_q: int = _TQ_OH):
     """Generic gather-free weighted bilinear sampling via hat products:
@@ -209,10 +337,179 @@ def hat_sample(v_bm, sx, sy, px_bm, py_bm, aw_bm,
     return out[:, :Lq]
 
 
+def _hat_bwd_kernel(sx_ref, sy_ref, px_ref, py_ref, aw_ref, value_ref,
+                    go_ref, gv_ref, gpx_ref, gpy_ref, gaw_ref):
+    """Backward of ``_hat_kernel`` for one (batch*head, query-block)
+    program — the TPU answer to the CUDA col2im backward
+    (``ms_deform_im2col_cuda.cuh:301-921``), with every contraction on
+    the MXU instead of atomic scatter-adds:
+
+      G[q, s]   = <go[q, :], v[s, :]>                   (MXU)
+      gaw[q, p] = sum_s hx hy G[q, s]                   (VPU reduce)
+      gpx[q, p] = aw[q, p] * sum_s hx' hy G[q, s]       (hx' = -sign(dx))
+      gpy[q, p] = aw[q, p] * sum_s hx hy' G[q, s]
+      gv[s, d] += sum_q W[q, s] go[q, d]                (MXU, accumulated
+                                                         across q blocks)
+
+    Subgradient convention: at |dx| in {0, 1} (sample exactly on a token
+    center / support edge) the tent derivative is taken as 0; the XLA
+    corner formulation uses the one-sided derivative there. Training
+    locations are generic floats, so the two only differ on a measure-
+    zero set.
+    """
+    q = pl.program_id(1)
+    sx = sx_ref[...]                               # (1, S)
+    sy = sy_ref[...]
+    px = px_ref[0]                                 # (TQ, PL)
+    py = py_ref[0]
+    aw = aw_ref[0]
+    v = value_ref[0]                               # (S, D)
+    go = go_ref[0].astype(jnp.float32)             # (TQ, D)
+    G = jax.lax.dot_general(                       # (TQ, S)
+        go, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    PL = px.shape[1]
+    gaw_cols, gpx_cols, gpy_cols = [], [], []
+    W = None
+    for p in range(PL):  # static unroll: PL = L*P
+        dx = px[:, p:p + 1] - sx                   # (TQ, S)
+        dy = py[:, p:p + 1] - sy
+        hx = jnp.maximum(0.0, 1.0 - jnp.abs(dx))
+        hy = jnp.maximum(0.0, 1.0 - jnp.abs(dy))
+        dhx = jnp.where(hx > 0.0, -jnp.sign(dx), 0.0)
+        dhy = jnp.where(hy > 0.0, -jnp.sign(dy), 0.0)
+        Ghy = G * hy
+        gaw_cols.append(jnp.sum(hx * Ghy, axis=1))
+        gpx_cols.append(aw[:, p] * jnp.sum(dhx * Ghy, axis=1))
+        gpy_cols.append(aw[:, p] * jnp.sum(hx * dhy * G, axis=1))
+        Wp = (aw[:, p:p + 1] * hx) * hy
+        W = Wp if W is None else W + Wp
+    gaw_ref[0] = jnp.stack(gaw_cols, axis=1)
+    gpx_ref[0] = jnp.stack(gpx_cols, axis=1)
+    gpy_ref[0] = jnp.stack(gpy_cols, axis=1)
+    gv = jax.lax.dot_general(                      # (S, D): W^T @ go
+        W, go, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(q == 0)
+    def _():
+        gv_ref[0] = jnp.zeros_like(gv_ref[0])
+
+    gv_ref[0] += gv
+
+
+def hat_sample_bwd(v_bm, sx, sy, px_bm, py_bm, aw_bm, go_bm,
+                   interpret: bool = False, block_q: int = _TQ_OH):
+    """Pallas backward of ``hat_sample``. Returns (gv, gpx, gpy, gaw),
+    all f32, shapes matching the inputs."""
+    BM, S, D = v_bm.shape
+    _, Lq, PL = px_bm.shape
+    Lq_pad = -(-Lq // block_q) * block_q
+    if Lq_pad != Lq:
+        pad = ((0, 0), (0, Lq_pad - Lq), (0, 0))
+        px_bm = jnp.pad(px_bm, pad, constant_values=-1e6)
+        py_bm = jnp.pad(py_bm, pad, constant_values=-1e6)
+        aw_bm = jnp.pad(aw_bm, pad)
+        go_bm = jnp.pad(go_bm, pad)
+    pt_spec = pl.BlockSpec((1, block_q, PL), lambda bm, q: (bm, q, 0),
+                           memory_space=pltpu.VMEM)
+    gv, gpx, gpy, gaw = pl.pallas_call(
+        _hat_bwd_kernel,
+        grid=(BM, Lq_pad // block_q),
+        in_specs=[
+            pl.BlockSpec((1, S), lambda bm, q: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S), lambda bm, q: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pt_spec, pt_spec, pt_spec,
+            pl.BlockSpec((1, S, D), lambda bm, q: (bm, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, D), lambda bm, q: (bm, q, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, S, D), lambda bm, q: (bm, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pt_spec, pt_spec, pt_spec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BM, S, D), jnp.float32),
+            jax.ShapeDtypeStruct((BM, Lq_pad, PL), jnp.float32),
+            jax.ShapeDtypeStruct((BM, Lq_pad, PL), jnp.float32),
+            jax.ShapeDtypeStruct((BM, Lq_pad, PL), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * BM * Lq_pad * S * D
+            + 25 * BM * Lq_pad * PL * S,
+            bytes_accessed=BM * (2 * S * D * 4 + Lq_pad * (PL * 24 + D * 4)),
+            transcendentals=0),
+    )(sx[None], sy[None], px_bm, py_bm, aw_bm, v_bm, go_bm)
+    return gv, gpx[:, :Lq], gpy[:, :Lq], gaw[:, :Lq]
+
+
+def ms_deform_attn_pallas_hat_bwd(value, spatial_shapes,
+                                  sampling_locations, attention_weights,
+                                  grad_out, interpret: bool = False,
+                                  block_q: int = _TQ_OH):
+    """Full MSDA VJP via the hat backward kernel: maps the kernel's
+    pixel-coordinate gradients back to the normalized (loc, attw)
+    parametrization (dpx/dloc_x = W_l, dpy/dloc_y = H_l per level)."""
+    spatial_shapes = tuple(spatial_shapes)
+    B, S, M, D = value.shape
+    _, Lq, _, L, P, _ = sampling_locations.shape
+    PL = L * P
+
+    loc = sampling_locations.astype(jnp.float32)
+    aw = attention_weights.astype(jnp.float32)
+    pxs, pys = [], []
+    y_off = 0.0
+    for l, (H, W) in enumerate(spatial_shapes):
+        pxs.append(loc[:, :, :, l, :, 0] * W - 0.5)
+        pys.append(loc[:, :, :, l, :, 1] * H - 0.5 + y_off)
+        y_off += H + 2.0
+    px = jnp.concatenate(pxs, -1)                  # (B, Lq, M, PL)
+    py = jnp.concatenate(pys, -1)
+    aw_f = aw.reshape(B, Lq, M, PL)
+
+    px_bm = px.transpose(0, 2, 1, 3).reshape(B * M, Lq, PL)
+    py_bm = py.transpose(0, 2, 1, 3).reshape(B * M, Lq, PL)
+    aw_bm = aw_f.transpose(0, 2, 1, 3).reshape(B * M, Lq, PL)
+    v_bm = value.transpose(0, 2, 1, 3).reshape(B * M, S, D)
+    go_bm = grad_out.reshape(B, Lq, M, D).transpose(0, 2, 1, 3).reshape(
+        B * M, Lq, D)
+    sx_np, sy_np = _hat_coords(spatial_shapes)
+    gv, gpx, gpy, gaw = hat_sample_bwd(
+        v_bm, jnp.asarray(sx_np), jnp.asarray(sy_np), px_bm, py_bm,
+        aw_bm, go_bm, interpret=interpret, block_q=block_q)
+
+    grad_value = gv.reshape(B, M, S, D).transpose(0, 2, 1, 3).astype(
+        value.dtype)
+    gpx = gpx.reshape(B, M, Lq, PL).transpose(0, 2, 1, 3)  # (B, Lq, M, PL)
+    gpy = gpy.reshape(B, M, Lq, PL).transpose(0, 2, 1, 3)
+    gaw = gaw.reshape(B, M, Lq, PL).transpose(0, 2, 1, 3)
+    scale = jnp.asarray(
+        [[w, h] for (h, w) in spatial_shapes], jnp.float32)  # (L, 2)
+    gloc = jnp.stack([gpx, gpy], -1).reshape(B, Lq, M, L, P, 2) \
+        * scale[:, None, :]
+    grad_loc = gloc.astype(sampling_locations.dtype)
+    grad_attw = gaw.reshape(B, Lq, M, L, P).astype(attention_weights.dtype)
+    return grad_value, grad_loc, grad_attw
+
+
 def ms_deform_attn_pallas_hat(value, spatial_shapes, sampling_locations,
                               attention_weights, interpret: bool = False,
-                              block_q: int = _TQ_OH):
-    """Gather-free MSDA via separable hat products (see ``_hat_kernel``)."""
+                              block_q: int = _TQ_OH,
+                              sparse: bool = False):
+    """Gather-free MSDA via separable hat products (see ``_hat_kernel``).
+
+    ``sparse=True`` selects the chunk-skipping variant
+    (``hat_sample_sparse``). Measured on the 2026-08 toolchain it LOSES
+    to the dense kernel even with most chunks inactive (per-chunk
+    ``pl.when`` + accumulator overhead exceeds the skipped VPU work at
+    CS=256), so dense stays the default; the sparse path is kept for
+    toolchains/shapes where the W build dominates harder (e.g. much
+    larger S with genuinely local trained offsets)."""
     spatial_shapes = tuple(spatial_shapes)
     B, S, M, D = value.shape
     _, Lq, _, L, P, _ = sampling_locations.shape
@@ -235,9 +532,13 @@ def ms_deform_attn_pallas_hat(value, spatial_shapes, sampling_locations,
     aw_bm = aw.transpose(0, 2, 1, 3).reshape(B * M, Lq, PL)
     v_bm = value.transpose(0, 2, 1, 3).reshape(B * M, S, D)
     sx_np, sy_np = _hat_coords(spatial_shapes)
-    out = hat_sample(v_bm, jnp.asarray(sx_np), jnp.asarray(sy_np),
-                     px_bm, py_bm, aw_bm, interpret=interpret,
-                     block_q=block_q)
+    if sparse:
+        out = hat_sample_sparse(v_bm, sx_np, sy_np, px_bm, py_bm, aw_bm,
+                                interpret=interpret, block_q=block_q)
+    else:
+        out = hat_sample(v_bm, jnp.asarray(sx_np), jnp.asarray(sy_np),
+                         px_bm, py_bm, aw_bm, interpret=interpret,
+                         block_q=block_q)
     out = out.reshape(B, M, Lq, D)
     return out.transpose(0, 2, 1, 3).reshape(B, Lq, M * D)
 
@@ -358,6 +659,63 @@ def hat_supported(value, spatial_shapes) -> bool:
     if vmem > 8 * 1024 * 1024:
         return False
     return _hat_probe()
+
+
+@functools.lru_cache(maxsize=1)
+def _hat_bwd_probe() -> bool:
+    """Compile + numerics probe for the hat backward kernel (vs the flat
+    path's XLA VJP)."""
+    try:
+        import jax.extend.backend
+        if jax.extend.backend.get_backend().platform not in ("tpu",
+                                                             "axon"):
+            return False
+        import numpy as np
+        from dfvod_tpu.ops.msda import ms_deform_attn_flat
+        rng = np.random.default_rng(0)
+        shapes = ((8, 16),)
+        v = np.asarray(rng.standard_normal((1, 128, 2, 8)), np.float32)
+        loc = np.asarray(rng.uniform(0, 1, (1, 4, 2, 1, 2, 2)),
+                         np.float32)
+        attw = np.full((1, 4, 2, 1, 2), 0.25, np.float32)
+        go = np.asarray(rng.standard_normal((1, 4, 16)), np.float32)
+
+        def body():
+            _, vjp = jax.vjp(
+                lambda v_, l_, a_: ms_deform_attn_flat(
+                    v_, shapes, l_, a_),
+                jnp.asarray(v), jnp.asarray(loc), jnp.asarray(attw))
+            ref = vjp(jnp.asarray(go))
+            got = ms_deform_attn_pallas_hat_bwd(
+                jnp.asarray(v), shapes, jnp.asarray(loc),
+                jnp.asarray(attw), jnp.asarray(go))
+            return ([np.asarray(x) for x in got],
+                    [np.asarray(x) for x in ref])
+
+        got, ref = _run_outside_trace(body)
+        ok = all(np.allclose(g, r, atol=3e-2)  # bf16 MXU tolerance
+                 for g, r in zip(got, ref))
+        if not ok:
+            print("[msda_pallas] hat bwd probe MISCOMPILED; XLA VJP")
+        return ok
+    except Exception as e:
+        print(f"[msda_pallas] hat bwd probe failed ({type(e).__name__});"
+              " XLA VJP")
+        return False
+
+
+def hat_bwd_supported(value) -> bool:
+    """Gate for the Pallas hat backward: bf16 values (the kernel MXU is
+    bf16 regardless of preferred type, so f32 callers keep the f32-exact
+    XLA VJP), VMEM budget for the value slab + G tile + f32 gv slab, and
+    the compile/numerics probe."""
+    if value.dtype != jnp.bfloat16:
+        return False
+    S, D = value.shape[1], value.shape[3]
+    vmem = S * max(D, 128) * (2 + 4) + 2 * _TQ_OH * S * 4
+    if vmem > 10 * 1024 * 1024:
+        return False
+    return _hat_bwd_probe()
 
 
 @functools.lru_cache(maxsize=1)

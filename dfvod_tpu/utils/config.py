@@ -101,6 +101,9 @@ class TrainConfig:
     seed: int = 42
     sgd: bool = False
     cosine_eta_min_mult: float = 0.1    # CosineAnnealingLR eta_min = 0.1*lr
+    # cap the local devices in the mesh (0 = all); the launcher-side
+    # counterpart of the reference's ``--nproc_per_node``
+    num_devices: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -126,6 +129,9 @@ class DataConfig:
     # ship uint8 frames; normalize/mask on device inside the jitted step
     # (``data/device_pipeline.py``) — 4x less H2D traffic
     device_preprocess: bool = False
+    # whole-dataset in-RAM byte cache, sharded across loader workers
+    # (``main.py:158`` --cache_mode + NodeDistributedSampler pairing)
+    cache_mode: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -61,9 +61,14 @@ def tiny_train_cfg(coco_root, out_dir, **model_kw):
         enc_layers=1, dec_layers=2, dim_feedforward=64, dropout=0.0,
         num_feature_levels=1, fusion_type="Baseline",
         with_box_refine=True, dilation=True, **model_kw)
+    # num_devices=2: XLA CPU's collective rendezvous hard-aborts when 8
+    # virtual devices contend for one physical core and a heavy step makes
+    # participant threads arrive too late; 2 devices still exercise the
+    # psum/allgather paths (full 8-device coverage lives in the lighter
+    # sharding tests and dryrun_multichip)
     return Config(
         model=model,
-        train=TrainConfig(epochs=1, batch_size=8, lr=5e-5),
+        train=TrainConfig(epochs=1, batch_size=8, lr=5e-5, num_devices=2),
         loss=LossConfig(),
         data=DataConfig(coco_path=str(coco_root), max_boxes=8,
                         eval_short_side=48, max_size=64),

@@ -34,6 +34,37 @@ class TestFlags:
                        video=True)
         assert cfg.model.temporal_mode == "transvod_pp"
 
+    def test_cache_mode_and_num_devices(self):
+        _, cfg = parse(["--cache_mode", "--num_devices", "2"])
+        assert cfg.data.cache_mode
+        assert cfg.train.num_devices == 2
+        _, cfg = parse([])
+        assert not cfg.data.cache_mode
+        assert cfg.train.num_devices == 0
+
+    def test_plain_coco_layout(self, tmp_path):
+        """dataset_file='coco' selects the train2017/instances_* layout
+        (``datasets/coco.py:151-161``)."""
+        import dataclasses
+        from dfvod_tpu.data import dataset as ds_mod
+        _, cfg = parse(["--dataset_file", "coco",
+                        "--coco_path", str(tmp_path)])
+        captured = {}
+
+        class Spy:
+            def __init__(self, img_folder, ann_file, **kw):
+                captured["img"] = img_folder
+                captured["ann"] = ann_file
+
+        orig = ds_mod.CocoDetectionDataset
+        ds_mod.CocoDetectionDataset = Spy
+        try:
+            ds_mod.build_dataset("train", cfg)
+        finally:
+            ds_mod.CocoDetectionDataset = orig
+        assert captured["img"].endswith("train2017")
+        assert captured["ann"].endswith("instances_train2017.json")
+
     def test_training_knobs(self):
         _, cfg = parse(["--lr", "1e-5", "--batch_size", "6",
                         "--dropout", "0.2", "--epochs", "7", "--sgd",

@@ -157,6 +157,96 @@ class TestHatKernel:
             v.astype(jnp.bfloat16), shapes)  # CPU platform
 
 
+class TestHatSparseKernel:
+    """Chunk-skipping hat variant (opt-in; see ms_deform_attn_pallas_hat).
+    The skip logic is conservative so output must be bit-equal in intent
+    to the dense kernel for finite inputs."""
+
+    def test_interpret_parity_multilevel(self, rng):
+        from dfvod_tpu.ops.msda_pallas import ms_deform_attn_pallas_hat
+        v, loc, w, shapes = make_inputs(rng)
+        ref = ms_deform_attn_xla(v, shapes, loc, w)
+        out = ms_deform_attn_pallas_hat(v, shapes, loc, w, interpret=True,
+                                        sparse=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_token_chunk_padding(self, rng):
+        """S not a multiple of the 256-token chunk: padded tokens sit
+        outside every hat support and must contribute nothing."""
+        from dfvod_tpu.ops.msda_pallas import ms_deform_attn_pallas_hat
+        v, loc, w, shapes = make_inputs(rng, shapes=((13, 27),), Lq=65)
+        ref = ms_deform_attn_xla(v, shapes, loc, w)
+        out = ms_deform_attn_pallas_hat(v, shapes, loc, w, interpret=True,
+                                        sparse=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_localized_samples_match_dense(self, rng):
+        """The favorable case — tightly clustered sample points (most
+        chunks inactive) — still matches the dense kernel exactly."""
+        from dfvod_tpu.ops.msda_pallas import ms_deform_attn_pallas_hat
+        v, loc, w, shapes = make_inputs(
+            rng, B=1, M=2, D=16, P=4, shapes=((24, 32),), Lq=64)
+        loc = 0.05 + 0.02 * loc  # all samples in a tiny top-left region
+        dense = ms_deform_attn_pallas_hat(v, shapes, loc, w,
+                                          interpret=True, sparse=False)
+        sparse = ms_deform_attn_pallas_hat(v, shapes, loc, w,
+                                           interpret=True, sparse=True)
+        np.testing.assert_allclose(np.asarray(sparse), np.asarray(dense),
+                                   atol=1e-6, rtol=1e-6)
+
+
+class TestHatBackwardKernel:
+    """Pallas hat backward (all-MXU col2im) vs XLA autodiff of the flat
+    path — the production gradient oracle."""
+
+    def _grads(self, rng, **kw):
+        from dfvod_tpu.ops.msda import ms_deform_attn_flat
+        from dfvod_tpu.ops.msda_pallas import ms_deform_attn_pallas_hat_bwd
+        v, loc, w, shapes = make_inputs(rng, **kw)
+        go = jnp.asarray(
+            np.random.default_rng(1).standard_normal(
+                (v.shape[0], loc.shape[1],
+                 v.shape[2] * v.shape[3])), jnp.float32)
+
+        def fwd(v, l, a):
+            return ms_deform_attn_flat(v, shapes, l, a)
+
+        _, vjp = jax.vjp(fwd, v, loc, w)
+        ref = vjp(go)
+        got = ms_deform_attn_pallas_hat_bwd(v, shapes, loc, w, go,
+                                            interpret=True)
+        return got, ref
+
+    def test_grad_parity_multilevel(self, rng):
+        got, ref = self._grads(rng)
+        for g, r, name in zip(got, ref, ("value", "loc", "attw")):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(r), atol=1e-4, rtol=1e-4,
+                err_msg=f"grad_{name}")
+
+    def test_grad_parity_query_padding(self, rng):
+        got, ref = self._grads(rng, Lq=300)
+        for g, r in zip(got, ref):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       atol=1e-4, rtol=1e-4)
+
+    def test_oob_samples_zero_grads(self, rng):
+        """Fully OOB samples: zero gradient to value and locations, like
+        the CUDA backward's OOB guard."""
+        from dfvod_tpu.ops.msda_pallas import ms_deform_attn_pallas_hat_bwd
+        v, loc, w, shapes = make_inputs(rng, Lq=8)
+        loc = jnp.full_like(loc, 7.0)
+        go = jnp.ones((v.shape[0], 8, v.shape[2] * v.shape[3]),
+                      jnp.float32)
+        gv, gl, ga = ms_deform_attn_pallas_hat_bwd(v, shapes, loc, w, go,
+                                                   interpret=True)
+        np.testing.assert_allclose(np.asarray(gv), 0.0, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gl), 0.0, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ga), 0.0, atol=1e-6)
+
+
 class TestOnehotKernel:
     def test_interpret_parity(self, rng):
         from dfvod_tpu.ops.msda_pallas import ms_deform_attn_pallas_onehot
