@@ -69,6 +69,10 @@ def get_args_parser(video: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--max_boxes", default=64, type=int)
     p.add_argument("--device_preprocess", action="store_true",
                    help="ship uint8 frames; normalize on device")
+    p.add_argument("--train_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="bfloat16: mixed-precision training (f32 master "
+                        "params, bf16 activations + Pallas hat kernels)")
     p.add_argument("--cache_mode", action="store_true",
                    help="cache the whole dataset in RAM, sharded per "
                         "host (``main.py:158``)")

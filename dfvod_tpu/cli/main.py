@@ -127,7 +127,8 @@ def train_loop(cfg, *, video: bool = False, resume: str = "",
         return stats
 
     step_fn = make_train_step(model, criterion, tx, mesh=mesh,
-                              frames=frames)
+                              frames=frames,
+                              train_dtype=cfg.train.train_dtype)
     wandb = WandbLogger(wandb_enabled, config={"cfg": str(cfg)})
     rng = jax.random.PRNGKey(cfg.train.seed + 1)
 

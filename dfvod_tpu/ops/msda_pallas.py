@@ -448,6 +448,34 @@ def hat_sample_bwd(v_bm, sx, sy, px_bm, py_bm, aw_bm, go_bm,
     return gv, gpx[:, :Lq], gpy[:, :Lq], gaw[:, :Lq]
 
 
+@functools.lru_cache(maxsize=None)
+def hat_sample_vjp(interpret: bool = False, block_q: int = _TQ_OH):
+    """Differentiable ``hat_sample``: Pallas forward + Pallas backward
+    (``_hat_bwd_kernel``). Token coordinates (sx, sy) are geometry, not
+    data — their cotangent is zero. Returned function signature matches
+    ``hat_sample(v_bm, sx, sy, px_bm, py_bm, aw_bm)``."""
+
+    @jax.custom_vjp
+    def f(v, sx, sy, px, py, aw):
+        return hat_sample(v, sx, sy, px, py, aw, interpret=interpret,
+                          block_q=block_q)
+
+    def fwd(v, sx, sy, px, py, aw):
+        return f(v, sx, sy, px, py, aw), (v, sx, sy, px, py, aw)
+
+    def bwd(res, go):
+        v, sx, sy, px, py, aw = res
+        gv, gpx, gpy, gaw = hat_sample_bwd(
+            v, sx, sy, px, py, aw, go.astype(jnp.float32),
+            interpret=interpret, block_q=block_q)
+        return (gv.astype(v.dtype), jnp.zeros_like(sx),
+                jnp.zeros_like(sy), gpx.astype(px.dtype),
+                gpy.astype(py.dtype), gaw.astype(aw.dtype))
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 def ms_deform_attn_pallas_hat_bwd(value, spatial_shapes,
                                   sampling_locations, attention_weights,
                                   grad_out, interpret: bool = False,
@@ -693,7 +721,12 @@ def _hat_bwd_probe() -> bool:
                     [np.asarray(x) for x in ref])
 
         got, ref = _run_outside_trace(body)
-        ok = all(np.allclose(g, r, atol=3e-2)  # bf16 MXU tolerance
+        # bf16 MXU tolerance must be RELATIVE: grad_loc scales with the
+        # level size (d px/d loc_x = W), so its entries are O(W) and a
+        # 2^-8 bf16 mantissa shows up as ~0.4% relative error (measured
+        # 0.072 on magnitude-18 entries) — an absolute gate would reject
+        # a numerically-correct kernel.
+        ok = all(np.allclose(g, r, rtol=2e-2, atol=3e-2)
                  for g, r in zip(got, ref))
         if not ok:
             print("[msda_pallas] hat bwd probe MISCOMPILED; XLA VJP")

@@ -74,7 +74,7 @@ def _roi_align_hat(features, ycl, xcl, oob, P, sr, interpret=False):
     epilogue). Coordinates arrive pre-clamped, so the hat weights equal
     mmcv's border-clamped bilinear weights exactly; out-of-roi points
     ([-1, H] overshoot) are zeroed via the weight."""
-    from dfvod_tpu.ops.msda_pallas import hat_sample
+    from dfvod_tpu.ops.msda_pallas import hat_sample_vjp
     B, H, W, C = features.shape
     R = ycl.shape[1]
     G = P * sr
@@ -89,9 +89,11 @@ def _roi_align_hat(features, ycl, xcl, oob, P, sr, interpret=False):
 
     sx = jnp.asarray(np.tile(np.arange(W, dtype=np.float32), H))
     sy = jnp.asarray(np.repeat(np.arange(H, dtype=np.float32), W))
-    out = hat_sample(features.reshape(B, H * W, C), sx, sy,
-                     to_bins(xx), to_bins(yy), to_bins(aw),
-                     interpret=interpret)
+    # differentiable (Pallas backward) so bf16 training can keep the
+    # hat path; box coords are stop-gradiented upstream (mmcv parity)
+    out = hat_sample_vjp(interpret=interpret)(
+        features.reshape(B, H * W, C), sx, sy,
+        to_bins(xx), to_bins(yy), to_bins(aw))
     return out.reshape(B, R, P, P, C)
 
 
@@ -117,6 +119,10 @@ def roi_align(features: jnp.ndarray, boxes: jnp.ndarray, *,
     G = P * sr
     offset = 0.5 if aligned else 0.0
 
+    # mmcv's RoIAlign implements no roi gradient (grad_input only), so
+    # boxes must not receive cotangents here either — the reference's
+    # QRF trains with exactly that cut.
+    boxes = jax.lax.stop_gradient(boxes)
     b = boxes.astype(jnp.float32) * spatial_scale - offset
     x1, y1, x2, y2 = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
     floor_w = 1e-6 if aligned else 1.0

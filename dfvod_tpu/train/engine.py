@@ -58,7 +58,8 @@ def create_train_state(rng, model, cfg, sample_batch,
 
 
 def make_train_step(model, criterion, tx, mesh: Optional[Mesh] = None,
-                    donate: bool = True, frames: int = 1):
+                    donate: bool = True, frames: int = 1,
+                    train_dtype: str = "float32"):
     """Build the jitted train step.
 
     batch: dict with images (B,H,W,C), mask (B,H,W) bool,
@@ -68,12 +69,27 @@ def make_train_step(model, criterion, tx, mesh: Optional[Mesh] = None,
     rows; the model outputs key-frame predictions only, so targets are
     sliced to the key frame of each clip (the reference's dataset returns
     only key-frame targets, ``vid_multi.py:46-168``).
+
+    ``train_dtype='bfloat16'``: mixed-precision training — master params,
+    optimizer state and the criterion stay f32; params + images are cast
+    to bf16 inside ``loss_fn``, so forward activations (and the MSDA /
+    RoIAlign Pallas hat kernels, which gate on bf16 values) run bf16;
+    the cast's transpose returns f32 cotangents to the master params.
+    Mutable batch_stats are kept f32 (flax computes train-mode BN stats
+    from the batch itself, so they never enter forward math).
     """
 
     def key_frames(x):
         if frames == 1:
             return x
         return x.reshape(x.shape[0] // frames, frames, *x.shape[1:])[:, 0]
+
+    bf16_train = train_dtype == "bfloat16"
+
+    def to_bf16(tree):
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, tree)
 
     def step_fn(state: TrainState, batch: Dict, dropout_rng):
         rng = jax.random.fold_in(dropout_rng, state.step)
@@ -88,8 +104,18 @@ def make_train_step(model, criterion, tx, mesh: Optional[Mesh] = None,
             batch["sizes"] if batch["images"].dtype == jnp.uint8
             else batch["mask"])
 
+        model_state = state.model_state
+        if bf16_train:
+            images = images.astype(jnp.bfloat16)
+            # FrozenBN "constants" are never updated -> safe to cast;
+            # "batch_stats" are updated (running stats) -> keep f32
+            model_state = {k: (to_bf16(v) if k != "batch_stats" else v)
+                           for k, v in model_state.items()}
+
         def loss_fn(params):
-            variables = {"params": params, **state.model_state}
+            if bf16_train:
+                params = to_bf16(params)
+            variables = {"params": params, **model_state}
             if has_bn:
                 out, mut = model.apply(
                     variables, images, mask, train=True,
@@ -101,6 +127,11 @@ def make_train_step(model, criterion, tx, mesh: Optional[Mesh] = None,
             targets = {"labels": key_frames(batch["labels"]),
                        "boxes": key_frames(batch["boxes"]),
                        "valid": key_frames(batch["valid"])}
+            if bf16_train:  # criterion (matcher/focal/giou) stays f32
+                out = jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.float32)
+                    if getattr(x, "dtype", None) == jnp.bfloat16 else x,
+                    out)
             total, parts = criterion(out, targets)
             return total, (parts, mut)
 
@@ -110,8 +141,12 @@ def make_train_step(model, criterion, tx, mesh: Optional[Mesh] = None,
         params = jax.tree_util.tree_map(
             lambda p, u: p + u.astype(p.dtype),
             state.params, updates)
-        model_state = {**state.model_state,
-                       **jax.tree_util.tree_map(jax.lax.stop_gradient, mut)}
+        mut = jax.tree_util.tree_map(jax.lax.stop_gradient, mut)
+        if bf16_train:  # running stats live f32 across steps
+            mut = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.float32)
+                if x.dtype == jnp.bfloat16 else x, mut)
+        model_state = {**state.model_state, **mut}
         new_state = TrainState(step=state.step + 1, params=params,
                                model_state=model_state, opt_state=opt_state)
         metrics = {"loss": loss,

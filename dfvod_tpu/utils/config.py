@@ -104,6 +104,10 @@ class TrainConfig:
     # cap the local devices in the mesh (0 = all); the launcher-side
     # counterpart of the reference's ``--nproc_per_node``
     num_devices: int = 0
+    # 'bfloat16': mixed-precision training — f32 master params/optimizer,
+    # bf16 params+activations inside the step (enables the Pallas hat
+    # MSDA/RoIAlign kernels in training)
+    train_dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)

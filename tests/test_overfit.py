@@ -44,3 +44,42 @@ def test_overfit_synthetic_boxes(rng):
     # box L1 specifically must shrink (boxes are memorizable): mean
     # per-coordinate error below ~5% of the image
     assert float(metrics["loss_bbox"]) < 0.2, float(metrics["loss_bbox"])
+
+
+def test_bf16_mixed_precision_training_converges(rng):
+    """train_dtype='bfloat16': master params stay f32, loss decreases —
+    the mixed-precision cast must not break optimization."""
+    cfg = Config(
+        model=ModelConfig(
+            num_classes=3, num_queries=8, hidden_dim=32, nheads=4,
+            enc_layers=1, dec_layers=1, dim_feedforward=64, dropout=0.0,
+            num_feature_levels=1, fusion_type="Baseline",
+            with_box_refine=True, aux_loss=False),
+        train=TrainConfig(lr=5e-4, epochs=100, clip_max_norm=0.5,
+                          train_dtype="bfloat16"))
+    model, criterion, _ = build_model(cfg)
+
+    B, H, W, T = 2, 64, 64, 2
+    images = rng.standard_normal((B, H, W, 3)).astype(np.float32) * 0.1
+    boxes = np.tile(np.array([[0.3, 0.4, 0.2, 0.25],
+                              [0.7, 0.6, 0.15, 0.2]], np.float32),
+                    (B, 1, 1))
+    batch = {"images": images, "mask": np.zeros((B, H, W), bool),
+             "labels": np.ones((B, T), np.int32), "boxes": boxes,
+             "valid": np.ones((B, T), bool)}
+
+    state, tx, _ = create_train_state(jax.random.PRNGKey(0), model, cfg,
+                                      batch, steps_per_epoch=1)
+    step = make_train_step(model, criterion, tx,
+                           train_dtype=cfg.train.train_dtype)
+    losses = []
+    for i in range(40):
+        state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    # master params and optimizer state stay f32 through the cast
+    import jax.numpy as jnp
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    assert leaf.dtype == jnp.float32
+    first, last = np.mean(losses[:3]), np.mean(losses[-3:])
+    assert last < 0.6 * first, (first, last, losses[::10])

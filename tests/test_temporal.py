@@ -64,6 +64,39 @@ class TestRoIAlign:
         assert np.isfinite(np.asarray(g)).all()
         assert float(jnp.abs(g).sum()) > 0
 
+    def test_boxes_get_no_gradient(self):
+        """mmcv RoIAlign parity: grad_input only, rois receive zero
+        cotangent (the reference QRF trains with that cut)."""
+        feat = jnp.ones((1, 8, 8, 2))
+        boxes = jnp.array([[[1.0, 1.3, 6.0, 6.4]]])
+
+        def f(boxes):
+            return roi_align(feat, boxes, output_size=3,
+                             spatial_scale=1.0).sum()
+
+        g = jax.grad(f)(boxes)
+        np.testing.assert_allclose(np.asarray(g), 0.0)
+
+    def test_pallas_hat_grad_matches_xla(self, rng):
+        """The hat path's Pallas backward (features cotangent) must match
+        the XLA path's autodiff (interpret mode)."""
+        feat = jnp.asarray(rng.standard_normal((2, 9, 11, 8)), jnp.float32)
+        boxes = jnp.asarray(
+            [[[1.0, 1.5, 8.0, 7.0], [-3.0, -2.0, 2.0, 3.0],
+              [6.0, 4.0, 14.0, 12.0], [-40.0, 0.0, -20.0, 4.0]]] * 2,
+            jnp.float32)
+        co = jnp.asarray(rng.standard_normal((2, 4, 3, 3, 8)), jnp.float32)
+
+        def loss(feat, impl, interp):
+            out = roi_align(feat, boxes, output_size=3, spatial_scale=1.0,
+                            sampling_ratio=2, impl=impl, interpret=interp)
+            return jnp.sum(out * co)
+
+        g_ref = jax.grad(loss)(feat, "xla", False)
+        g_hat = jax.grad(loss)(feat, "pallas_hat", True)
+        np.testing.assert_allclose(np.asarray(g_hat), np.asarray(g_ref),
+                                   atol=1e-4, rtol=1e-4)
+
     def test_pallas_hat_path_matches_xla(self, rng):
         """The gather-free hat-kernel path (bf16 serving) must reproduce
         the XLA flat-gather path, including border clamping and the
