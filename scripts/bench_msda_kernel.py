@@ -6,8 +6,11 @@ readback, RPC round-trip subtracted.
 
 Usage: python scripts/bench_msda_kernel.py [B ...]
 """
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
@@ -65,6 +68,7 @@ def main():
             "flat": lambda v, s, l, a: msda.ms_deform_attn_flat(v, s, l, a),
             "onehot": msda_pallas.ms_deform_attn_pallas_onehot,
             "hat": msda_pallas.ms_deform_attn_pallas_hat,
+            "hat_tiled": msda_pallas.ms_deform_attn_pallas_hat_tiled,
         }
         for name, fn in variants.items():
             got = np.asarray(fn(value, SHAPES, loc, attw), np.float32)

@@ -84,6 +84,29 @@ class TestFusionVariants:
             grads[True], grads[False])
         assert max(jax.tree_util.tree_leaves(deltas)) < 1e-5
 
+    def test_stem_s2d_exact(self):
+        """Space-to-depth conv1 is an exact reparameterization of the
+        7x7 stride-2 conv — same param tree, same outputs (f32)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from dfvod_tpu.models.backbone_resnet import ResNet50
+        x = jnp.asarray(np.random.default_rng(0).standard_normal(
+            (1, 64, 96, 3)), jnp.float32)
+        m_ref = ResNet50(dilation=True, stem_s2d=False,
+                         return_stages=(1, 4))
+        v = jax.jit(m_ref.init)(jax.random.PRNGKey(0), x)
+        ref = m_ref.apply(v, x)
+        out = ResNet50(dilation=True, stem_s2d=True,
+                       return_stages=(1, 4)).apply(v, x)
+        # layer1: only reassociation noise from the reparameterized conv
+        np.testing.assert_allclose(np.asarray(out[1]), np.asarray(ref[1]),
+                                   atol=1e-3, rtol=1e-5)
+        # layer4: the ~1e-6 relative drift amplified through 50 layers
+        # of an untrained (unnormalized) network
+        np.testing.assert_allclose(np.asarray(out[4]), np.asarray(ref[4]),
+                                   atol=0.1, rtol=1e-3)
+
     def test_resnet18_depth_backbone(self):
         cfg = tiny(fusion_type="LateFusion", use_depth=True,
                    depth_backbone_type="resnet18")

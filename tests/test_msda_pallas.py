@@ -197,6 +197,20 @@ class TestHatSparseKernel:
                                    atol=1e-6, rtol=1e-6)
 
 
+class TestHatTiledKernel:
+    """Factored W-build variant (kept for future toolchains; measured
+    slower than dense on 2026-08 Mosaic — lane concat cost)."""
+
+    def test_interpret_parity_single_level(self, rng):
+        from dfvod_tpu.ops.msda_pallas import ms_deform_attn_pallas_hat_tiled
+        v, loc, w, shapes = make_inputs(rng, shapes=((6, 9),), Lq=41)
+        ref = ms_deform_attn_xla(v, shapes, loc, w)
+        out = ms_deform_attn_pallas_hat_tiled(v, shapes, loc, w,
+                                              interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+
 class TestHatBackwardKernel:
     """Pallas hat backward (all-MXU col2im) vs XLA autodiff of the flat
     path — the production gradient oracle."""
