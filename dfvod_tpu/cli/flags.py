@@ -42,6 +42,9 @@ def get_args_parser(video: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--enc_n_points", default=4, type=int)
     p.add_argument("--dpth_n_points", default=4, type=int)
     p.add_argument("--two_stage", action="store_true")
+    p.add_argument("--masks", action="store_true",
+                   help="train segmentation head (``main.py:110``)")
+    p.add_argument("--frozen_weights", default="", type=str)
     p.add_argument("--with_box_refine", action="store_true", default=True)
     p.add_argument("--num_classes", default=3, type=int)
     # losses (``main.py:120-140``)

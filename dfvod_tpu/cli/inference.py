@@ -39,10 +39,17 @@ from dfvod_tpu.utils.box_ops import box_cxcywh_to_xyxy
 
 
 class DeformableDETRInference:
-    """``inference.py:355`` equivalent."""
+    """``inference.py:355`` equivalent.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` for multi-chip serving —
+    the clip's frame rows shard over the ``('clip', 'data')`` axes
+    (params replicated, XLA inserts the temporal-head collectives over
+    ICI), the BASELINE.json north star's clip-parallel inference. The
+    frame-batch size must divide the mesh size.
+    """
 
     def __init__(self, cfg, resume: str = "", spatial_weights: str = "",
-                 keep_prob: float = 0.5):
+                 keep_prob: float = 0.5, mesh=None):
         self.cfg = cfg
         self.keep_prob = keep_prob
         self.model, _, _ = build_model(cfg)
@@ -51,9 +58,20 @@ class DeformableDETRInference:
         self.frames = (1 + cfg.model.num_ref_frames
                        if cfg.model.temporal_mode != "none" else 1)
         self.variables = None
-        self._fwd = jax.jit(lambda v, x, m: (lambda o: (
+        fn = lambda v, x, m: (lambda o: (  # noqa: E731
             o["pred_logits"], o["pred_boxes"]))(
-            self.model.apply(v, x, m, train=False)))
+            self.model.apply(v, x, m, train=False))
+        if mesh is None:
+            self._fwd = jax.jit(fn)
+        else:
+            from dfvod_tpu.parallel import clip_batch_sharding, replicated
+            repl = replicated(mesh)
+            self._fwd = jax.jit(
+                fn,
+                in_shardings=(repl, clip_batch_sharding(mesh, 4),
+                              clip_batch_sharding(mesh, 3)),
+                out_shardings=(repl, repl))
+        self.mesh = mesh
         self._resume = resume
         self._spatial = spatial_weights
 
@@ -156,13 +174,25 @@ def run_inference(*, resume: str = "", img_path: str = "",
                   inference_coco_path: str = "", coco_img_folder: str = "",
                   output_dir: str = "out", keep_prob: float = 0.5,
                   save_txt: bool = True, save_img: bool = True,
-                  spatial_weights: str = "", cfg=None, **cfg_kw) -> List:
-    """Programmatic API (``inference.py:1169-1217``)."""
+                  spatial_weights: str = "", cfg=None,
+                  num_devices: int = 0, **cfg_kw) -> List:
+    """Programmatic API (``inference.py:1169-1217``).
+
+    ``num_devices`` > 1: clip-parallel serving over a ``('clip','data')``
+    mesh of that many local devices (frame rows must divide it)."""
     from dfvod_tpu.utils.config import Config
     cfg = cfg or Config.from_flat(**cfg_kw)
+    mesh = None
+    if num_devices > 1:
+        import jax as _jax
+        from dfvod_tpu.parallel import make_mesh
+        frames = (1 + cfg.model.num_ref_frames
+                  if cfg.model.temporal_mode != "none" else 1)
+        clip = frames if num_devices % frames == 0 else 1
+        mesh = make_mesh(_jax.devices()[:num_devices], clip=clip)
     engine = DeformableDETRInference(cfg, resume=resume,
                                      spatial_weights=spatial_weights,
-                                     keep_prob=keep_prob)
+                                     keep_prob=keep_prob, mesh=mesh)
     os.makedirs(output_dir, exist_ok=True)
 
     jobs = []  # (name, List[Sample])
@@ -223,7 +253,8 @@ def main(argv=None):
         coco_img_folder=args.coco_img_folder,
         output_dir=args.output_dir or "out", keep_prob=args.keep_prob,
         save_txt=args.save_txt, save_img=args.save_img,
-        spatial_weights=args.spatial_weights)
+        spatial_weights=args.spatial_weights,
+        num_devices=args.num_devices)
 
 
 if __name__ == "__main__":

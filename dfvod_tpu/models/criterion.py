@@ -89,7 +89,41 @@ class SetCriterion:
             aux.update({f"{k}_{i}": v for k, v in wd.items()})
         aux.update({f"{k}_enc": v for k, v in wd.items()})
         wd.update(aux)
+        # mask losses: last decoder layer only, like DETRsegm
+        # (aux layers skip masks, ``deformable_detr_single.py:456-475``)
+        wd["loss_mask"] = getattr(self.loss_cfg, "mask_loss_coef", 1.0)
+        wd["loss_dice"] = getattr(self.loss_cfg, "dice_loss_coef", 1.0)
         return wd
+
+    def _loss_masks(self, pred_masks, targets, assign, num_boxes):
+        """Focal + dice on matched query masks (``:456-475`` / DETR
+        ``loss_masks``): predictions bilinearly resized to the target
+        mask resolution, per-mask pixel-mean focal and dice, normalized
+        by num_boxes; invalid target slots contribute zero."""
+        tm = targets["masks"].astype(jnp.float32)     # (B, T, Hm, Wm)
+        B, T, Hm, Wm = tm.shape
+        src = jnp.take_along_axis(
+            pred_masks, assign[:, :, None, None].astype(jnp.int32),
+            axis=1)                                    # (B, T, Hp, Wp)
+        src = jax.image.resize(src.astype(jnp.float32), (B, T, Hm, Wm),
+                               method="bilinear")
+        s = src.reshape(B * T, Hm * Wm)
+        t = tm.reshape(B * T, Hm * Wm)
+        vf = targets["valid"].reshape(B * T).astype(jnp.float32)
+        # sigmoid focal, alpha=0.25 gamma=2 (``segmentation.py:231-258``)
+        p = jax.nn.sigmoid(s)
+        ce = jnp.maximum(s, 0) - s * t + jnp.log1p(jnp.exp(-jnp.abs(s)))
+        p_t = p * t + (1 - p) * (1 - t)
+        a = self.loss_cfg.focal_alpha
+        a_t = a * t + (1 - a) * (1 - t)
+        focal = (a_t * ce * (1 - p_t) ** 2).mean(axis=1) * vf
+        loss_mask = focal.sum() / num_boxes
+        # dice (``segmentation.py:178-193``)
+        num = 2 * (p * t).sum(axis=1)
+        den = p.sum(axis=1) + t.sum(axis=1)
+        dice = (1 - (num + 1) / (den + 1)) * vf
+        loss_dice = dice.sum() / num_boxes
+        return {"loss_mask": loss_mask, "loss_dice": loss_dice}
 
     def _loss_single(self, outputs, targets, num_boxes, axis_name=None):
         """Losses for one prediction set. Returns dict of scalars."""
@@ -150,6 +184,14 @@ class SetCriterion:
         losses = self._loss_single(
             {"pred_logits": outputs["pred_logits"],
              "pred_boxes": outputs["pred_boxes"]}, targets, num_boxes)
+
+        if "pred_masks" in outputs and "masks" in targets:
+            assign = matcher_lib.match(
+                {"pred_logits": outputs["pred_logits"],
+                 "pred_boxes": outputs["pred_boxes"]}, targets,
+                self.loss_cfg, self.matcher_backend)
+            losses.update(self._loss_masks(outputs["pred_masks"],
+                                           targets, assign, num_boxes))
 
         for i, aux in enumerate(outputs.get("aux_outputs", [])):
             l_aux = self._loss_single(aux, targets, num_boxes)

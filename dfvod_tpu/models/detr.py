@@ -73,7 +73,7 @@ class DeformableDETR(nn.Module):
                 dropout=cfg.dropout, name="backbone")
         else:
             self.backbone = ResNet50(dilation=cfg.dilation,
-                                     return_stages=cfg.backbone_stages,
+                                     return_stages=cfg.all_backbone_stages,
                                      name="backbone")
             if fusion in ("LateFusion", "Encoder_CrossFusion"):
                 if cfg.depth_backbone_type == "resnet18":
@@ -98,6 +98,11 @@ class DeformableDETR(nn.Module):
 
         if fusion in ("LateFusion", "Encoder_CrossFusion"):
             self.input_proj_depth = InputProj(d, name="input_proj_depth_0")
+
+        if cfg.masks:
+            from dfvod_tpu.models.segmentation import MaskBranch
+            self.mask_branch = MaskBranch(hidden_dim=d, num_heads=cfg.nheads,
+                                          name="mask_branch")
 
         self.transformer = DeformableTransformer(
             d_model=d, n_heads=cfg.nheads,
@@ -132,6 +137,7 @@ class DeformableDETR(nn.Module):
             rgb, depth = images[..., :3], None
 
         depth_feats = depth_masks = None
+        stage_outs = None
         if cfg.fusion_type == "Backbone_CrossFusion":
             feats, feat_masks, dfeat, dmask = self.backbone(
                 rgb, depth, mask, train=train, deterministic=deterministic)
@@ -180,6 +186,19 @@ class DeformableDETR(nn.Module):
                 "pred_logits": t_out["enc_outputs_class"],
                 "pred_boxes": t_out["enc_outputs_coord"],
             }
+        if cfg.masks:
+            # DETRsegm mask branch (``segmentation.py:30-169`` /
+            # ``deformable_detr_single.py:680-681``) on the trunk: per-
+            # query attention over the level-0 memory map, FPN-upsampled
+            # through backbone layers 3 -> 2 -> 1
+            H1, W1 = (int(t_out["spatial_shapes"][0][0]),
+                      int(t_out["spatial_shapes"][0][1]))
+            d = cfg.hidden_dim
+            mem_map = t_out["memory"][:, :H1 * W1].reshape(
+                -1, H1, W1, d)
+            laterals = [stage_outs[3], stage_outs[2], stage_outs[1]]
+            out["pred_masks"] = self.mask_branch(
+                t_out["hs_last"], mem_map, masks[0], laterals)
         # expose trunk state for temporal heads / debugging
         out["_trunk"] = {k: t_out[k] for k in
                          ("memory", "mask_flat", "spatial_shapes",

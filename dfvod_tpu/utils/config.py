@@ -53,6 +53,11 @@ class ModelConfig:
     interval1: int = 20
     interval2: int = 60
     fixed_pretrained_model: bool = False
+    # segmentation head (``main.py:110`` --masks; dormant in the
+    # reference thesis but fully wired: DETRsegm mask branch + focal/dice
+    # losses + PostProcessSegm/Panoptic)
+    masks: bool = False
+    frozen_weights: str = ""            # seg-only training checkpoint
     # compute
     compute_dtype: str = "float32"      # float32 | bfloat16
     remat: bool = False                 # jax.checkpoint encoder layers
@@ -62,6 +67,9 @@ class ModelConfig:
         assert self.temporal_mode in TEMPORAL_MODES, self.temporal_mode
         if self.fusion_type != "Baseline":
             object.__setattr__(self, "use_depth", True)
+        if self.masks:
+            assert self.fusion_type != "Backbone_CrossFusion", \
+                "mask head needs raw backbone stage outputs"
 
     @property
     def transformer_fusion(self) -> str:
@@ -75,6 +83,14 @@ class ModelConfig:
         # (``backbone_scratch.py:98-100``)
         return (2, 3, 4) if self.num_feature_levels > 1 else (4,)
 
+    @property
+    def all_backbone_stages(self) -> Tuple[int, ...]:
+        """Stages the backbone must compute: transformer levels plus the
+        mask head's FPN laterals (layers 1-3, DETR segmentation)."""
+        if self.masks:
+            return tuple(sorted(set(self.backbone_stages) | {1, 2, 3}))
+        return self.backbone_stages
+
 
 @dataclasses.dataclass(frozen=True)
 class LossConfig:
@@ -82,6 +98,8 @@ class LossConfig:
     cls_loss_coef: float = 2.0
     bbox_loss_coef: float = 5.0
     giou_loss_coef: float = 2.0
+    mask_loss_coef: float = 1.0         # ``main.py:126``
+    dice_loss_coef: float = 1.0         # ``main.py:127``
     focal_alpha: float = 0.25
     set_cost_class: float = 2.0
     set_cost_bbox: float = 5.0

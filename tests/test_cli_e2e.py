@@ -126,6 +126,42 @@ class TestInferenceCLI:
             assert parts[0] == "Hand" and len(parts) == 6
 
 
+class TestMeshServing:
+    def test_clip_parallel_fwd_matches_single_device(self, rng):
+        """Multi-chip serving path: the clip's frame rows sharded over a
+        ('clip', 'data') mesh must reproduce the single-device forward
+        (params replicated, XLA inserts the temporal-head collectives)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from dfvod_tpu.cli.inference import DeformableDETRInference
+        from dfvod_tpu.parallel import make_mesh
+        from dfvod_tpu.utils.config import Config, ModelConfig
+
+        cfg = Config(model=ModelConfig(
+            num_classes=3, num_queries=6, hidden_dim=32, nheads=4,
+            enc_layers=1, dec_layers=2, dim_feedforward=64, dropout=0.0,
+            num_feature_levels=1, fusion_type="Baseline",
+            temporal_mode="transvod_pp", num_ref_frames=1,
+            with_box_refine=True))
+        F, H, W = 2, 64, 64
+        images = jnp.asarray(rng.standard_normal((F, H, W, 3)),
+                             jnp.float32)
+        mask = jnp.zeros((F, H, W), bool)
+
+        single = DeformableDETRInference(cfg)
+        single._init_variables(images, mask)
+        ref = single._fwd(single.variables, images, mask)
+
+        mesh = make_mesh(jax.devices()[:2], clip=2)
+        sharded = DeformableDETRInference(cfg, mesh=mesh)
+        sharded.variables = single.variables
+        got = sharded._fwd(sharded.variables, images, mask)
+        for g, r in zip(got, ref):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       atol=1e-5, rtol=1e-5)
+
+
 class TestVideoTrainLoop:
     def test_transvod_pp_train_eval(self, coco_tree, tmp_path):
         """Video path e2e: CocoVideoDataset clips -> frame batching ->

@@ -84,6 +84,52 @@ class TestFusionVariants:
             grads[True], grads[False])
         assert max(jax.tree_util.tree_leaves(deltas)) < 1e-5
 
+    def test_masks_head_and_losses(self, rng):
+        """--masks wiring (``main.py:110`` / DETRsegm): pred_masks output
+        at backbone-layer1 resolution, focal+dice losses finite and
+        differentiable."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from dfvod_tpu.models import build_model
+        from dfvod_tpu.utils.config import Config, ModelConfig
+        cfg = Config(model=ModelConfig(
+            num_classes=3, num_queries=6, hidden_dim=32, nheads=4,
+            enc_layers=1, dec_layers=1, dim_feedforward=64, dropout=0.0,
+            num_feature_levels=1, fusion_type="Baseline", masks=True,
+            aux_loss=False))
+        model, criterion, _ = build_model(cfg)
+        B, H, W, T = 1, 64, 64, 2
+        x = jnp.asarray(rng.standard_normal((B, H, W, 3)), jnp.float32)
+        mask = jnp.zeros((B, H, W), bool)
+        v = jax.jit(lambda r: model.init(r, x, mask, train=False))(
+            jax.random.PRNGKey(0))
+        out = model.apply(v, x, mask, train=False)
+        # FPN upsamples the stride-16 memory through layers 3/2/1 -> s4
+        assert out["pred_masks"].shape == (B, 6, H // 4, W // 4)
+
+        targets = {
+            "labels": jnp.ones((B, T), jnp.int32),
+            "boxes": jnp.tile(jnp.asarray([0.5, 0.5, 0.3, 0.3]),
+                              (B, T, 1)),
+            "valid": jnp.ones((B, T), bool),
+            "masks": jnp.zeros((B, T, H // 4, W // 4)
+                               ).at[:, :, 4:10, 4:10].set(1.0),
+        }
+        total, parts = criterion(out, targets)
+        assert np.isfinite(float(total))
+        assert "loss_mask" in parts and "loss_dice" in parts
+        assert float(parts["loss_dice"]) > 0
+
+        def loss_fn(params):
+            o = model.apply({**v, "params": params}, x, mask, train=False)
+            return criterion(o, targets)[0]
+
+        g = jax.jit(jax.grad(loss_fn))(v["params"])
+        gm = jax.tree_util.tree_leaves(g["mask_branch"])
+        assert all(np.isfinite(np.asarray(t)).all() for t in gm)
+        assert max(float(jnp.abs(t).max()) for t in gm) > 0
+
     def test_stem_s2d_exact(self):
         """Space-to-depth conv1 is an exact reparameterization of the
         7x7 stride-2 conv — same param tree, same outputs (f32)."""
