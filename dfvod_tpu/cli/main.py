@@ -32,12 +32,31 @@ from dfvod_tpu.utils.logging import (
 )
 
 
+def maybe_init_distributed():
+    """``init_distributed_mode`` parity (``util/misc.py:441-479``): the
+    reference spawns one NCCL process per GPU from env vars; on TPU one
+    process drives all local chips, and multi-HOST pods additionally need
+    the JAX distributed runtime. Initialize it when a coordinator is
+    configured (TPU pod metadata or explicit env); single-host runs are
+    untouched."""
+    import os
+    if jax.process_count() > 1:
+        return  # already initialized
+    if (os.environ.get("COORDINATOR_ADDRESS")
+            or os.environ.get("DFVOD_MULTIHOST")):
+        try:
+            jax.distributed.initialize()
+        except Exception as e:  # pragma: no cover - depends on env
+            print(f"[dist] jax.distributed.initialize failed: {e}")
+
+
 def train_loop(cfg, *, video: bool = False, resume: str = "",
                start_epoch: int = 0, eval_only: bool = False,
                del_class_weights: bool = False,
                temporal_weights: str = "", spatial_weights: str = "",
                wandb_enabled: bool = False):
     np.random.seed(cfg.train.seed)
+    maybe_init_distributed()
     setup_for_distributed(jax.process_index() == 0)
     devices = (jax.devices()[:cfg.train.num_devices]
                if cfg.train.num_devices else None)

@@ -240,6 +240,126 @@ def ms_deform_attn_pallas_hat_tiled(value, spatial_shapes,
     return out.transpose(0, 2, 1, 3).reshape(B, Lq, M * D)
 
 
+def _hat_sep_kernel_factory(H, W, D, PL, TQ):
+    """Single-level separable hat kernel — two-stage rank-1 contraction.
+
+    On a (H, W) grid the tent weight separates: W[q,(y,x)] =
+    sum_p aw_p hx_p(x) hy_p(y). Instead of building the dense (TQ, S)
+    interpolation matrix with ~11 VPU ops per element (the dense hat
+    kernel's bottleneck), contract x and y separately:
+
+      U    = [hx_0; ...; hx_{PL-1}] @ Vt        (PL*TQ, H*D)   MXU
+      Q    = sum_p (aw_p*hy_p @ E) * U_p        (TQ, H*D)      MXU+VPU
+      out  = Q @ F                              (TQ, D)        MXU
+
+    where Vt[x, y*D+d] = v[(y,x), d] is the x-major value slab and
+    E (H, H*D) / F (H*D, D) are constant 0/1 expansion/reduction
+    matrices (E[y, y*D+d]=1 repeats each hy entry D times along lanes;
+    F[y*D+d, d]=1 sums lane groups of stride D). Every op is a matmul
+    or an elementwise multiply on well-formed tiles — no lane
+    concats/reshapes (the failure mode of the tiled build).
+    VPU work drops from ~11*PL*TQ*S to ~11*PL*TQ*(W+H) + 2*PL*TQ*H*D.
+    """
+
+    def kernel(wx_ref, wy_ref, px_ref, py_ref, aw_ref, vt_ref, e_ref,
+               f_ref, out_ref):
+        wx = wx_ref[...]                           # (1, W)
+        wy = wy_ref[...]                           # (1, H)
+        px = px_ref[0]                             # (TQ, PL)
+        py = py_ref[0]
+        aw = aw_ref[0]
+        vt = vt_ref[0].astype(jnp.float32)         # (W, H*D)
+        E = e_ref[...].astype(jnp.float32)         # (H, H*D)
+        F = f_ref[...].astype(jnp.float32)         # (H*D, D)
+        hxs = jnp.concatenate(
+            [jnp.maximum(0.0, 1.0 - jnp.abs(px[:, p:p + 1] - wx))
+             for p in range(PL)], axis=0)          # (PL*TQ, W)
+        U = jax.lax.dot_general(                   # (PL*TQ, H*D)
+            hxs, vt, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        Q = None
+        for p in range(PL):  # static unroll
+            hy = jnp.maximum(0.0, 1.0 - jnp.abs(py[:, p:p + 1] - wy))
+            wyx = jax.lax.dot_general(             # (TQ, H*D)
+                aw[:, p:p + 1] * hy, E, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            Qp = wyx * U[p * TQ:(p + 1) * TQ]
+            Q = Qp if Q is None else Q + Qp
+        out_ref[0] = jax.lax.dot_general(
+            Q, F, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(out_ref.dtype)
+
+    return kernel
+
+
+def ms_deform_attn_pallas_hat_sep(value, spatial_shapes,
+                                  sampling_locations, attention_weights,
+                                  interpret: bool = False,
+                                  block_q: int = _TQ_OH):
+    """Single-level MSDA via the two-stage separable hat kernel."""
+    spatial_shapes = tuple(spatial_shapes)
+    assert len(spatial_shapes) == 1, "sep hat kernel is single-level"
+    H, W = spatial_shapes[0]
+    B, S, M, D = value.shape
+    _, Lq, _, L, P, _ = sampling_locations.shape
+    PL = L * P
+
+    loc = sampling_locations.astype(jnp.float32)
+    aw = attention_weights.astype(jnp.float32)
+    px = loc[:, :, :, 0, :, 0] * W - 0.5           # (B, Lq, M, P)
+    py = loc[:, :, :, 0, :, 1] * H - 0.5
+    aw = aw.reshape(B, Lq, M, PL)
+
+    px_bm = px.transpose(0, 2, 1, 3).reshape(B * M, Lq, PL)
+    py_bm = py.transpose(0, 2, 1, 3).reshape(B * M, Lq, PL)
+    aw_bm = aw.transpose(0, 2, 1, 3).reshape(B * M, Lq, PL)
+    # x-major value slab: Vt[bm, x, y*D+d]
+    v_bm = value.transpose(0, 2, 1, 3).reshape(B * M, H, W, D)
+    vt_bm = v_bm.transpose(0, 2, 1, 3).reshape(B * M, W, H * D)
+    Lq_pad = -(-Lq // block_q) * block_q
+    if Lq_pad != Lq:
+        pad = ((0, 0), (0, Lq_pad - Lq), (0, 0))
+        px_bm = jnp.pad(px_bm, pad, constant_values=-1e6)
+        py_bm = jnp.pad(py_bm, pad, constant_values=-1e6)
+        aw_bm = jnp.pad(aw_bm, pad)
+    wx = jnp.arange(W, dtype=jnp.float32)[None]
+    wy = jnp.arange(H, dtype=jnp.float32)[None]
+    eye = np.eye(H, dtype=np.float32)
+    E = jnp.asarray(np.repeat(eye, D, axis=1))          # (H, H*D)
+    F = jnp.asarray(np.tile(np.eye(D, dtype=np.float32), (H, 1)))
+    pt_spec = pl.BlockSpec((1, block_q, PL), lambda bm, q: (bm, q, 0),
+                           memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _hat_sep_kernel_factory(H, W, D, PL, block_q),
+        grid=(B * M, Lq_pad // block_q),
+        in_specs=[
+            pl.BlockSpec((1, W), lambda bm, q: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), lambda bm, q: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pt_spec, pt_spec, pt_spec,
+            pl.BlockSpec((1, W, H * D), lambda bm, q: (bm, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H * D), lambda bm, q: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H * D, D), lambda bm, q: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, D), lambda bm, q: (bm, q, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * M, Lq_pad, D), value.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            # per query: U (PL*W*H*D) + wy expand (PL*H*H*D) + reduce
+            flops=2 * B * M * Lq_pad * H * D * (PL * (W + H) + D),
+            bytes_accessed=B * M * (S * D * value.dtype.itemsize
+                                    + Lq_pad * PL * 12),
+            transcendentals=0),
+    )(wx, wy, px_bm, py_bm, aw_bm, vt_bm, E, F)
+    out = out.reshape(B, M, Lq_pad, D)[:, :, :Lq]
+    return out.transpose(0, 2, 1, 3).reshape(B, Lq, M * D)
+
+
 def _hat_coords(spatial_shapes):
     """Per-token (sx, sy) f32 coordinates with level-offset y (numpy)."""
     import numpy as np

@@ -69,7 +69,12 @@ def main():
             "onehot": msda_pallas.ms_deform_attn_pallas_onehot,
             "hat": msda_pallas.ms_deform_attn_pallas_hat,
             "hat_tiled": msda_pallas.ms_deform_attn_pallas_hat_tiled,
+            "hat_sep": msda_pallas.ms_deform_attn_pallas_hat_sep,
         }
+        only = os.environ.get("MSDA_VARIANTS", "")
+        if only:
+            variants = {k: v for k, v in variants.items()
+                        if k in only.split(",")}
         for name, fn in variants.items():
             got = np.asarray(fn(value, SHAPES, loc, attw), np.float32)
             err = np.max(np.abs(got - ref))

@@ -211,6 +211,30 @@ class TestHatTiledKernel:
                                    atol=1e-5, rtol=1e-5)
 
 
+class TestHatSepKernel:
+    """Two-stage separable variant (x/y contractions via constant E/F
+    expansion matmuls); measured parity with the dense hat kernel on
+    2026-08 Mosaic (2.47 vs 2.41 ms at B=8) — kept for toolchains with
+    cheaper small-k matmuls."""
+
+    def test_interpret_parity_single_level(self, rng):
+        from dfvod_tpu.ops.msda_pallas import ms_deform_attn_pallas_hat_sep
+        v, loc, w, shapes = make_inputs(rng, shapes=((6, 9),), Lq=41)
+        ref = ms_deform_attn_xla(v, shapes, loc, w)
+        out = ms_deform_attn_pallas_hat_sep(v, shapes, loc, w,
+                                            interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_oob_zero(self, rng):
+        from dfvod_tpu.ops.msda_pallas import ms_deform_attn_pallas_hat_sep
+        v, loc, w, shapes = make_inputs(rng, shapes=((6, 9),), Lq=8)
+        loc = jnp.full_like(loc, 7.0)
+        out = ms_deform_attn_pallas_hat_sep(v, shapes, loc, w,
+                                            interpret=True)
+        np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+
 class TestHatBackwardKernel:
     """Pallas hat backward (all-MXU col2im) vs XLA autodiff of the flat
     path — the production gradient oracle."""
