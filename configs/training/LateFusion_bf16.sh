@@ -1,0 +1,33 @@
+#!/usr/bin/env bash
+# dfvod_tpu training config — LateFusion with bf16 mixed-precision
+# training (TPU-only addition; no reference equivalent): f32 master
+# params + bf16 activations, which also routes MSDA/RoIAlign through
+# the Pallas hat kernels forward and backward (PERF.md: 59.1 -> 51.5
+# ms/step at B=2 full-res).
+set -x
+EXP_DIR=output/latefusion_bf16/
+COCO_PATH=${COCO_PATH:-/data}      # expects $COCO_PATH/coco/{images,annotations}
+RESUME_PATH=${RESUME_PATH:-}
+mkdir -p ${EXP_DIR}
+python -u -m dfvod_tpu.cli.main \
+    --backbone resnet50 \
+    --epochs 20 \
+    --num_feature_levels 1 \
+    --num_queries 300 \
+    --batch_size 6 \
+    --dilation \
+    --with_box_refine \
+    --dataset_file vid_single \
+    --output_dir ${EXP_DIR} \
+    --coco_path ${COCO_PATH} \
+    --num_classes 3 \
+    --dropout 0.2 \
+    --lr 1e-5 \
+    --weight_decay 2e-5 \
+    --use_depth \
+    --fusion_type LateFusion \
+    --train_dtype bfloat16 \
+    --device_preprocess \
+    --del_class_weights \
+    --resume ${RESUME_PATH} \
+    "$@" | tee ${EXP_DIR}/train_output.txt
