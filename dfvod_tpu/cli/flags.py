@@ -64,6 +64,7 @@ def get_args_parser(video: bool = False) -> argparse.ArgumentParser:
     # dataset (``main.py:142-156``)
     p.add_argument("--dataset_file", default="vid_single", type=str)
     p.add_argument("--coco_path", default="", type=str)
+    p.add_argument("--coco_panoptic_path", default="", type=str)
     p.add_argument("--output_dir", default="", type=str)
     p.add_argument("--seed", default=42, type=int)
     p.add_argument("--resume", default="", type=str)

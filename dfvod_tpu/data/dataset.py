@@ -193,6 +193,15 @@ def build_dataset(image_set: str, cfg, temporal: bool = False):
     ``train2017/`` + ``annotations/instances_train2017.json``)."""
     data = cfg.data
     root = data.coco_path
+    if getattr(data, "dataset_file", "") == "coco_panoptic":
+        # ``datasets/__init__.py:31-34``: panoptic routes to its own
+        # dataset (PNG id maps + segments_info; incompatible with the
+        # detection loader's Sample contract, like the reference)
+        from dfvod_tpu.data.panoptic import build_panoptic
+        return build_panoptic(
+            image_set, root,
+            getattr(data, "coco_panoptic_path", "") or root,
+            return_masks=getattr(cfg.model, "masks", False))
     if getattr(data, "dataset_file", "").startswith("coco"):
         paths = {
             "train": (os.path.join(root, "train2017"),

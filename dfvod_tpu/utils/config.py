@@ -132,6 +132,7 @@ class TrainConfig:
 class DataConfig:
     """Dataset config (``datasets/vid_single.py`` / ``vid_multi.py``)."""
     coco_path: str = ""
+    coco_panoptic_path: str = ""        # ``main.py:144`` (panoptic anns)
     dataset_file: str = "vid_single"
     use_depth: bool = False
     num_ref_frames: int = 3
