@@ -49,9 +49,67 @@ def depth_path_for(image_path: str) -> str:
     return image_path.replace("images", "depth_pred")
 
 
-def prepare_targets(anns: List[dict], h: int, w: int):
+def _decode_rle_counts(s) -> List[int]:
+    """COCO compressed-RLE ``counts`` string decoder (pycocotools
+    ``rleFrString`` codec, reimplemented from the format spec): 5-bit
+    little-endian chunks biased by 48, bit 5 = continuation, sign-extend
+    on bit 4 of the last chunk, deltas from ``counts[i-2]`` for i>2."""
+    if isinstance(s, bytes):
+        s = s.decode("ascii")
+    counts: List[int] = []
+    i = 0
+    while i < len(s):
+        x, k, more = 0, 0, True
+        while more:
+            c = ord(s[i]) - 48
+            x |= (c & 0x1F) << (5 * k)
+            more = bool(c & 0x20)
+            i += 1
+            k += 1
+            if not more and (c & 0x10):
+                x |= -1 << (5 * k)
+        if len(counts) > 2:
+            x += counts[-2]
+        counts.append(x)
+    return counts
+
+
+def rasterize_segmentation(seg, h: int, w: int) -> np.ndarray:
+    """COCO ``segmentation`` -> (h, w) uint8 {0,1} mask without
+    pycocotools. Polygon lists rasterize via PIL scanline fill (pixel
+    boundary placement can differ from pycocotools by <=1px on edges);
+    RLE dicts (uncompressed list or compressed string ``counts``) decode
+    exactly — COCO RLE runs are column-major."""
+    if isinstance(seg, list):  # list of flat [x0,y0,x1,y1,...] polygons
+        from PIL import ImageDraw
+        img = Image.new("L", (w, h), 0)
+        draw = ImageDraw.Draw(img)
+        for poly in seg:
+            xy = [(float(poly[i]), float(poly[i + 1]))
+                  for i in range(0, len(poly) - 1, 2)]
+            if len(xy) >= 3:
+                draw.polygon(xy, outline=1, fill=1)
+        return np.asarray(img, np.uint8)
+    counts = seg["counts"]
+    rh, rw = seg["size"]
+    if isinstance(counts, (str, bytes)):
+        counts = _decode_rle_counts(counts)
+    flat = np.zeros(rh * rw, np.uint8)
+    pos, val = 0, 0
+    for c in counts:
+        if val:
+            flat[pos:pos + c] = 1
+        pos += c
+        val ^= 1
+    return flat.reshape(rw, rh).T[:h, :w]
+
+
+def prepare_targets(anns: List[dict], h: int, w: int,
+                    return_masks: bool = False):
     """``ConvertCocoPolysToMask`` semantics (``vid_single.py:65-127``):
-    xywh -> xyxy, clamp to image, drop crowd + degenerate boxes."""
+    xywh -> xyxy, clamp to image, drop crowd + degenerate boxes; with
+    ``return_masks`` also rasterize per-instance segmentation masks
+    filtered by the same keep vector."""
     anns = [a for a in anns if a.get("iscrowd", 0) == 0]
     boxes = np.array([a["bbox"] for a in anns],
                      np.float32).reshape(-1, 4)
@@ -60,7 +118,14 @@ def prepare_targets(anns: List[dict], h: int, w: int):
     boxes[:, 1::2] = boxes[:, 1::2].clip(0, h)
     labels = np.array([a["category_id"] for a in anns], np.int64)
     keep = (boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1])
-    return boxes[keep], labels[keep]
+    if not return_masks:
+        return boxes[keep], labels[keep]
+    if anns:
+        masks = np.stack([rasterize_segmentation(a["segmentation"], h, w)
+                          for a in anns])
+    else:
+        masks = np.zeros((0, h, w), np.uint8)
+    return boxes[keep], labels[keep], masks[keep]
 
 
 class CocoDetectionDataset:
@@ -72,13 +137,14 @@ class CocoDetectionDataset:
                  use_depth: bool = False, train: bool = True,
                  depth_folder: Optional[str] = None,
                  cache_mode: bool = False, cache_rank: int = 0,
-                 cache_world: int = 1):
+                 cache_world: int = 1, return_masks: bool = False):
         self.root = img_folder
         self.coco = COCO(ann_file)
         self.ids = sorted(self.coco.imgs)
         self.use_depth = use_depth
         self.train = train
         self.depth_folder = depth_folder
+        self.return_masks = return_masks
         # in-RAM byte cache sharded across local workers
         # (``torchvision_datasets/coco.py:51-58`` + NodeDistributedSampler
         # pairing, ``datasets/samplers.py:75-139``)
@@ -113,9 +179,14 @@ class CocoDetectionDataset:
             depth = load_depth(dpath)
         h, w = rgb.shape[:2]
         anns = self.coco.imgToAnns[img_id]
-        boxes, labels = prepare_targets(anns, h, w)
+        masks = None
+        if self.return_masks:
+            boxes, labels, masks = prepare_targets(anns, h, w,
+                                                   return_masks=True)
+        else:
+            boxes, labels = prepare_targets(anns, h, w)
         return Sample(rgb=rgb, depth=depth, boxes=boxes, labels=labels,
-                      image_id=img_id, orig_size=(h, w))
+                      image_id=img_id, orig_size=(h, w), masks=masks)
 
     def __getitem__(self, index: int) -> List[Sample]:
         return [self._load_frame(self.ids[index])]
@@ -133,11 +204,12 @@ class CocoVideoDataset(CocoDetectionDataset):
                  num_ref_frames: int = 3, use_depth: bool = False,
                  train: bool = True, depth_folder: Optional[str] = None,
                  filter_key_img: bool = True, cache_mode: bool = False,
-                 cache_rank: int = 0, cache_world: int = 1):
+                 cache_rank: int = 0, cache_world: int = 1,
+                 return_masks: bool = False):
         super().__init__(img_folder, ann_file, use_depth=use_depth,
                          train=train, depth_folder=depth_folder,
                          cache_mode=cache_mode, cache_rank=cache_rank,
-                         cache_world=cache_world)
+                         cache_world=cache_world, return_masks=return_masks)
         self.coco = CocoVID(ann_file)
         self.ids = sorted(self.coco.imgs)
         self.num_ref_frames = num_ref_frames
@@ -228,13 +300,15 @@ def build_dataset(image_set: str, cfg, temporal: bool = False):
         import jax
         cache_kw = dict(cache_mode=True, cache_rank=jax.process_index(),
                         cache_world=jax.process_count())
+    return_masks = bool(getattr(cfg.model, "masks", False))
     if temporal:
         return CocoVideoDataset(
             img_folder, ann_file, num_ref_frames=data.num_ref_frames,
-            use_depth=data.use_depth, train=train, **cache_kw)
+            use_depth=data.use_depth, train=train,
+            return_masks=return_masks, **cache_kw)
     return CocoDetectionDataset(img_folder, ann_file,
                                 use_depth=data.use_depth, train=train,
-                                **cache_kw)
+                                return_masks=return_masks, **cache_kw)
 
 
 def make_transform(train: bool, cfg):

@@ -51,6 +51,7 @@ class Sample:
     labels: np.ndarray                  # (T,) int64
     image_id: int = 0
     orig_size: Tuple[int, int] = (0, 0)  # (H, W)
+    masks: Optional[np.ndarray] = None  # (T, H, W) uint8 {0,1} or None
 
 
 def resize_short_side(h: int, w: int, short: int, max_size: int
@@ -67,6 +68,22 @@ def resize_short_side(h: int, w: int, short: int, max_size: int
     return int(short * h / w), short
 
 
+def _resize_masks(masks: Optional[np.ndarray], nh: int, nw: int
+                  ) -> Optional[np.ndarray]:
+    """Nearest-neighbour resize of an instance-mask stack with torch's
+    legacy ``interpolate(mode='nearest')`` index map (``src = floor(dst *
+    scale)``), matching the reference's mask resizing in
+    ``transforms_single.py`` (F.interpolate on ``masks[:, None]``)."""
+    if masks is None:
+        return None
+    t, h, w = masks.shape
+    if (h, w) == (nh, nw):
+        return masks
+    ri = np.minimum((np.arange(nh) * (h / nh)).astype(np.int64), h - 1)
+    ci = np.minimum((np.arange(nw) * (w / nw)).astype(np.int64), w - 1)
+    return masks[:, ri][:, :, ci]
+
+
 def _resize(sample: Sample, short: int, max_size: int) -> Sample:
     h, w = sample.rgb.shape[:2]
     nh, nw = resize_short_side(h, w, short, max_size)
@@ -81,7 +98,8 @@ def _resize(sample: Sample, short: int, max_size: int) -> Sample:
         boxes = sample.boxes * np.array([nw / w, nh / h, nw / w, nh / h],
                                         np.float32)
         return dataclasses.replace(sample, rgb=rgb, depth=depth,
-                                   boxes=boxes)
+                                   boxes=boxes,
+                                   masks=_resize_masks(sample.masks, nh, nw))
     rgb = np.asarray(Image.fromarray(sample.rgb).resize(
         (nw, nh), Image.BILINEAR))
     depth = sample.depth
@@ -90,7 +108,8 @@ def _resize(sample: Sample, short: int, max_size: int) -> Sample:
             (nw, nh), Image.BILINEAR))
     boxes = sample.boxes * np.array([nw / w, nh / h, nw / w, nh / h],
                                     np.float32)
-    return dataclasses.replace(sample, rgb=rgb, depth=depth, boxes=boxes)
+    return dataclasses.replace(sample, rgb=rgb, depth=depth, boxes=boxes,
+                               masks=_resize_masks(sample.masks, nh, nw))
 
 
 def _hflip(sample: Sample) -> Sample:
@@ -99,7 +118,9 @@ def _hflip(sample: Sample) -> Sample:
     depth = sample.depth[:, ::-1] if sample.depth is not None else None
     boxes = sample.boxes.copy()
     boxes[:, [0, 2]] = w - sample.boxes[:, [2, 0]]
-    return dataclasses.replace(sample, rgb=rgb, depth=depth, boxes=boxes)
+    masks = sample.masks[:, :, ::-1] if sample.masks is not None else None
+    return dataclasses.replace(sample, rgb=rgb, depth=depth, boxes=boxes,
+                               masks=masks)
 
 
 def bucket_shape(h: int, w: int, bucket_step: int = 128,
@@ -154,10 +175,16 @@ def normalize_and_pad(sample: Sample, pad_hw: Tuple[int, int],
         boxes[:n] = cxcywh / np.array([w, h, w, h], np.float32)
         labels[:n] = sample.labels[:n]
         valid[:n] = True
-    return {"image": out, "mask": mask, "labels": labels, "boxes": boxes,
-            "valid": valid, "image_id": sample.image_id,
-            "size": np.array([h, w], np.int64),
-            "orig_size": np.array(sample.orig_size, np.int64)}
+    ret = {"image": out, "mask": mask, "labels": labels, "boxes": boxes,
+           "valid": valid, "image_id": sample.image_id,
+           "size": np.array([h, w], np.int64),
+           "orig_size": np.array(sample.orig_size, np.int64)}
+    if sample.masks is not None:
+        m = np.zeros((max_boxes, ph, pw), np.uint8)
+        if n:
+            m[:n, :h, :w] = sample.masks[:n]
+        ret["masks"] = m
+    return ret
 
 
 def pad_u8(sample: Sample, pad_hw: Tuple[int, int], use_depth: bool,
@@ -188,10 +215,16 @@ def pad_u8(sample: Sample, pad_hw: Tuple[int, int], use_depth: bool,
         boxes[:n] = cxcywh / np.array([w, h, w, h], np.float32)
         labels[:n] = sample.labels[:n]
         valid[:n] = True
-    return {"image": out, "labels": labels, "boxes": boxes,
-            "valid": valid, "image_id": sample.image_id,
-            "size": np.array([h, w], np.int64),
-            "orig_size": np.array(sample.orig_size, np.int64)}
+    ret = {"image": out, "labels": labels, "boxes": boxes,
+           "valid": valid, "image_id": sample.image_id,
+           "size": np.array([h, w], np.int64),
+           "orig_size": np.array(sample.orig_size, np.int64)}
+    if sample.masks is not None:
+        m = np.zeros((max_boxes, ph, pw), np.uint8)
+        if n:
+            m[:n, :h, :w] = sample.masks[:n]
+        ret["masks"] = m
+    return ret
 
 
 @dataclasses.dataclass
