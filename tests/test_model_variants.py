@@ -153,6 +153,33 @@ class TestFusionVariants:
         np.testing.assert_allclose(np.asarray(out[4]), np.asarray(ref[4]),
                                    atol=0.1, rtol=1e-3)
 
+    def test_dformer_stem_s2d_exact(self):
+        """DFormer stem space-to-depth convs are an exact
+        reparameterization of the 3x3 stride-2 convs — same param tree,
+        same outputs."""
+        from dfvod_tpu.models.backbone_dformer import DFormerDownsamplePath
+        x = jnp.asarray(np.random.default_rng(1).standard_normal(
+            (2, 64, 96, 1)), jnp.float32)
+        m_ref = DFormerDownsamplePath(stem_s2d=False)
+        v = jax.jit(m_ref.init)(jax.random.PRNGKey(0), x)
+        ref = m_ref.apply(v, x)
+        out = DFormerDownsamplePath(stem_s2d=True).apply(v, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-4, rtol=1e-5)
+
+    def test_dformer_stem_s2d_odd_fallback(self):
+        """Odd spatial dims fall back to the plain stride-2 conv with the
+        identical param tree."""
+        from dfvod_tpu.models.backbone_dformer import DFormerDownsamplePath
+        x = jnp.zeros((1, 63, 96, 1), jnp.float32)
+        m = DFormerDownsamplePath(stem_s2d=True)
+        v = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+        v2 = jax.jit(DFormerDownsamplePath(stem_s2d=False).init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 96, 1), jnp.float32))
+        assert jax.tree_util.tree_structure(v) == \
+            jax.tree_util.tree_structure(v2)
+        m.apply(v, x)  # traces through the fallback path
+
     def test_resnet18_depth_backbone(self):
         cfg = tiny(fusion_type="LateFusion", use_depth=True,
                    depth_backbone_type="resnet18")
