@@ -23,6 +23,8 @@ python -u -m dfvod_tpu.cli.main \
     --weight_decay 2e-5 \
     --use_depth \
     --fusion_type Encoder_CrossFusion \
+    --dformer_backbone \
+    ${DFORMER_WEIGHTS:+--dformer_weights ${DFORMER_WEIGHTS}} \
     --del_class_weights \
     --resume ${RESUME_PATH} \
     "$@" | tee ${EXP_DIR}/train_output.txt

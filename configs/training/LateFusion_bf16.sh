@@ -26,6 +26,8 @@ python -u -m dfvod_tpu.cli.main \
     --weight_decay 2e-5 \
     --use_depth \
     --fusion_type LateFusion \
+    --dformer_backbone \
+    ${DFORMER_WEIGHTS:+--dformer_weights ${DFORMER_WEIGHTS}} \
     --train_dtype bfloat16 \
     --device_preprocess \
     --del_class_weights \

@@ -24,6 +24,8 @@ python -u -m dfvod_tpu.cli.main_multi \
     --weight_decay 2e-5 \
     --use_depth \
     --fusion_type LateFusion \
+    --dformer_backbone \
+    ${DFORMER_WEIGHTS:+--dformer_weights ${DFORMER_WEIGHTS}} \
     ${SPATIAL_WEIGHTS:+--spatial_weights ${SPATIAL_WEIGHTS}} \
     ${TRANSVOD_TEMPORAL_WEIGHTS:+--transvod_temporal_weights ${TRANSVOD_TEMPORAL_WEIGHTS}} \
     "$@" | tee ${EXP_DIR}/train_output.txt

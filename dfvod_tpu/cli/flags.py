@@ -61,6 +61,13 @@ def get_args_parser(video: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--fusion_type", default="Baseline",
                    choices=["Baseline", "LateFusion", "Backbone_CrossFusion",
                             "Encoder_CrossFusion"])
+    p.add_argument("--dformer_backbone", action="store_true",
+                   help="DFormer depth backbone for LateFusion/Encoder_CF "
+                        "(without it they fall back to the R18 research "
+                        "backbone, ``deformable_detr_single.py:657-662``)")
+    p.add_argument("--dformer_weights", default="", type=str,
+                   help="DFormer pretrain .pth; implies --dformer_backbone "
+                        "(``main.py:213-214``)")
     # dataset (``main.py:142-156``)
     p.add_argument("--dataset_file", default="vid_single", type=str)
     p.add_argument("--coco_path", default="", type=str)
@@ -104,4 +111,12 @@ def config_from_args(args, video: bool = False) -> Config:
         kw["temporal_mode"] = mode
     if kw.get("fusion_type", "Baseline") != "Baseline":
         kw["use_depth"] = True
+    # ``main.py:213-214``: --dformer_weights implies --dformer_backbone;
+    # without either, LateFusion/Encoder_CF select the R18 research depth
+    # backbone (``deformable_detr_single.py:657-662``). Backbone
+    # CrossFusion is always DFormer-based (``:649-655``).
+    if kw.pop("dformer_backbone", False) or kw.get("dformer_weights"):
+        kw["depth_backbone_type"] = "dformer"
+    elif kw.get("fusion_type") in ("LateFusion", "Encoder_CrossFusion"):
+        kw["depth_backbone_type"] = "resnet18"
     return Config.from_flat(**kw)

@@ -138,6 +138,18 @@ def train_loop(cfg, *, video: bool = False, resume: str = "",
              if spatial_weights else None)
         state = state.replace(params=ckpt.merge_temporal_weights(
             state.params, temporal_params=t, spatial_params=s))
+    if getattr(cfg.model, "dformer_weights", ""):
+        # selective DFormer-pretrain load into the depth stem
+        # (``dformer_backbone.py:161-198``; BN running stats skipped like
+        # the reference)
+        from dfvod_tpu.utils.convert_reference import load_torch_state_dict
+        dparams, _ = ckpt.convert_dformer_downsample_path(
+            load_torch_state_dict(cfg.model.dformer_weights))
+        overlay = ({"backbone": dparams}
+                   if cfg.model.fusion_type == "Backbone_CrossFusion"
+                   else {"depth_backbone": {"downsample_path": dparams}})
+        params, _ = ckpt.merge_matching(state.params, overlay)
+        state = state.replace(params=params)
 
     if eval_only:
         stats = evaluate(model, state.variables, val_loader, val_ds.coco,

@@ -245,6 +245,34 @@ def convert_torchvision_resnet50(sd: Mapping[str, np.ndarray],
     return params, consts
 
 
+# reference stem module indices (``dformer_backbone.py:34-41``:
+# Sequential(conv, bn, GELU, conv, bn)) -> our flat names
+_DFORMER_STEM = {"0.0": "stem_conv1", "0.1": "stem_bn1",
+                 "0.3": "stem_conv2", "0.4": "stem_bn2"}
+
+
+def _dformer_flat_name(name: str):
+    """Map a DFormer-pretrain key (``downsample_layers_e.i.j.leaf``) onto
+    our flat ``stem_conv1.weight`` scheme; passthrough for already-flat
+    names; None for keys the reference skips (BN running stats,
+    ``dformer_backbone.py:183-189``) or foreign modules."""
+    if "downsample_layers_e" not in name:
+        return name
+    tail = name.split("downsample_layers_e.", 1)[1]
+    parts = tail.split(".")
+    if len(parts) < 3:
+        return None
+    leaf = ".".join(parts[2:])
+    if leaf in ("running_mean", "running_var", "num_batches_tracked"):
+        return None
+    mod = _DFORMER_STEM.get(f"{parts[0]}.{parts[1]}")
+    if mod is None:
+        # stage blocks: Sequential(bn, conv) (``dformer_backbone.py:44-49``)
+        mod = (f"stage{parts[0]}_bn" if parts[1] == "0"
+               else f"stage{parts[0]}_conv")
+    return f"{mod}.{leaf}"
+
+
 def convert_dformer_downsample_path(sd: Mapping[str, np.ndarray]
                                     ) -> Tuple[dict, dict]:
     """DFormer checkpoint's depth ``downsample_path`` -> (params,
@@ -252,9 +280,13 @@ def convert_dformer_downsample_path(sd: Mapping[str, np.ndarray]
 
     Reference selective loading (``dformer_backbone.py:161-198``): the depth
     stem convs/BNs come from the DFormer pretrain; names there follow
-    ``downsample_layers_e.{i}...``. We accept flat ``{stem_conv1.weight,..}``
-    style produced by our exporter; unknown keys are ignored.
+    ``downsample_layers_e.{i}...`` (mapped via ``_dformer_flat_name``,
+    running stats skipped like the reference). Flat
+    ``{stem_conv1.weight,..}`` style from our exporter is also accepted;
+    unknown keys are ignored.
     """
+    sd = {fn: w for name, w in sd.items()
+          if (fn := _dformer_flat_name(name)) is not None}
     params: dict = {}
     stats: dict = {}
     for name, w in sd.items():

@@ -36,6 +36,8 @@ class ModelConfig:
     backbone: str = "resnet50"
     depth_backbone_type: str = "dformer"  # dformer | resnet18 (research
                                           # fallback, ``research_scripts/``)
+    dformer_weights: str = ""  # DFormer pretrain .pth for the depth stem
+                               # (``main.py:168``, selective loading)
     dilation: bool = True
     position_embedding: str = "sine"
     with_box_refine: bool = True

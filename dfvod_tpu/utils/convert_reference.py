@@ -38,7 +38,12 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     (``main.py:499``)."""
     import torch
     obj = torch.load(path, map_location="cpu", weights_only=False)
-    sd = obj.get("model", obj) if isinstance(obj, dict) else obj
+    if isinstance(obj, dict):
+        # reference wrappers: {'model': ...} (``main.py:499``) or a
+        # DFormer pretrain's {'state_dict': ...}
+        # (``dformer_backbone.py:174``)
+        obj = obj.get("model", obj.get("state_dict", obj))
+    sd = obj
     return {k: v.numpy() for k, v in sd.items()
             if hasattr(v, "numpy")}
 

@@ -56,11 +56,13 @@ def coco_tree(tmp_path_factory):
 
 
 def tiny_train_cfg(coco_root, out_dir, **model_kw):
-    model = ModelConfig(
+    kw = dict(
         num_classes=3, num_queries=12, hidden_dim=32, nheads=4,
         enc_layers=1, dec_layers=2, dim_feedforward=64, dropout=0.0,
         num_feature_levels=1, fusion_type="Baseline",
-        with_box_refine=True, dilation=True, **model_kw)
+        with_box_refine=True, dilation=True)
+    kw.update(model_kw)
+    model = ModelConfig(**kw)
     # num_devices=2: XLA CPU's collective rendezvous hard-aborts when 8
     # virtual devices contend for one physical core and a heavy step makes
     # participant threads arrive too late; 2 devices still exercise the
@@ -175,3 +177,51 @@ class TestVideoTrainLoop:
         assert "mAP" in stats
         lines = (out / "log.txt").read_text().splitlines()
         assert len(lines) >= 2
+
+
+class TestDFormerWeightsE2E:
+    def test_latefusion_train_with_dformer_pretrain(self, coco_tree,
+                                                    tmp_path):
+        """CLI train loop with --dformer_weights: the DFormer pretrain's
+        stem lands in the depth backbone before training
+        (``main.py:168``, ``dformer_backbone.py:161-198``)."""
+        import dataclasses
+
+        import torch
+
+        from dfvod_tpu.cli.main import train_loop
+        from dfvod_tpu.utils.checkpoint import load_checkpoint
+
+        rng = np.random.default_rng(3)
+        dims = [(16, 1), (32, 16), (64, 32), (128, 64)]
+        sd = {}
+        for (o, i), key in zip(dims, ("0.0", "0.3", "1.1", "2.1")):
+            sd[f"downsample_layers_e.{key}.weight"] = torch.tensor(
+                rng.standard_normal((o, i, 3, 3)).astype(np.float32))
+            sd[f"downsample_layers_e.{key}.bias"] = torch.tensor(
+                rng.standard_normal(o).astype(np.float32))
+        for n, key in zip((16, 32, 32, 64), ("0.1", "0.4", "1.0", "2.0")):
+            sd[f"downsample_layers_e.{key}.weight"] = torch.tensor(
+                np.ones(n, np.float32))
+            sd[f"downsample_layers_e.{key}.bias"] = torch.tensor(
+                np.zeros(n, np.float32))
+        pth = tmp_path / "dformer.pth"
+        torch.save({"state_dict": sd}, pth)
+
+        out = tmp_path / "run"
+        cfg = tiny_train_cfg(coco_tree, out, fusion_type="LateFusion",
+                             use_depth=True,
+                             depth_backbone_type="dformer",
+                             dformer_weights=str(pth))
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data, use_depth=True))
+        stats = train_loop(cfg)
+        assert "mAP" in stats
+        restored, _ = load_checkpoint(str(out))
+        got = np.asarray(restored["params"]["depth_backbone"]
+                         ["downsample_path"]["stem_conv1"]["kernel"])
+        want = sd["downsample_layers_e.0.0.weight"].numpy(
+        ).transpose(2, 3, 1, 0)
+        # one low-lr epoch on tiny data barely moves the loaded weights;
+        # an unloaded xavier init would differ at O(1)
+        assert np.abs(got - want).max() < 0.05

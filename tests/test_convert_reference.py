@@ -287,3 +287,102 @@ class TestMHAParity:
                         jnp.asarray(v))
         np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5,
                                    rtol=1e-4)
+
+
+class TestDFormerPretrainLoading:
+    """Standalone DFormer-pretrain selective loading
+    (``dformer_backbone.py:161-198``): ``downsample_layers_e.i.j`` names
+    map onto the flat stem/stage scheme; BN running stats are skipped
+    like the reference."""
+
+    def _pretrain_sd(self, rng):
+        return {
+            "downsample_layers_e.0.0.weight": rnd(rng, 16, 1, 3, 3),
+            "downsample_layers_e.0.0.bias": rnd(rng, 16),
+            "downsample_layers_e.0.1.weight": rnd(rng, 16),
+            "downsample_layers_e.0.1.bias": rnd(rng, 16),
+            "downsample_layers_e.0.1.running_mean": rnd(rng, 16),
+            "downsample_layers_e.0.1.running_var": rnd(rng, 16),
+            "downsample_layers_e.0.3.weight": rnd(rng, 32, 16, 3, 3),
+            "downsample_layers_e.0.3.bias": rnd(rng, 32),
+            "downsample_layers_e.0.4.weight": rnd(rng, 32),
+            "downsample_layers_e.0.4.bias": rnd(rng, 32),
+            "downsample_layers_e.1.0.weight": rnd(rng, 32),
+            "downsample_layers_e.1.0.bias": rnd(rng, 32),
+            "downsample_layers_e.1.1.weight": rnd(rng, 64, 32, 3, 3),
+            "downsample_layers_e.1.1.bias": rnd(rng, 64),
+            "downsample_layers_e.2.0.weight": rnd(rng, 64),
+            "downsample_layers_e.2.0.bias": rnd(rng, 64),
+            "downsample_layers_e.2.1.weight": rnd(rng, 128, 64, 3, 3),
+            "downsample_layers_e.2.1.bias": rnd(rng, 128),
+            "some_other_module.weight": rnd(rng, 7),  # foreign: ignored
+        }
+
+    def test_name_mapping_and_stats_skip(self):
+        from dfvod_tpu.utils.checkpoint import (
+            convert_dformer_downsample_path,
+        )
+        rng = np.random.default_rng(0)
+        sd = self._pretrain_sd(rng)
+        params, stats = convert_dformer_downsample_path(sd)
+        assert set(params) == {"stem_conv1", "stem_bn1", "stem_conv2",
+                               "stem_bn2", "stage1_bn", "stage1_conv",
+                               "stage2_bn", "stage2_conv"}
+        # conv kernels transposed OIHW -> HWIO
+        assert params["stem_conv1"]["kernel"].shape == (3, 3, 1, 16)
+        assert params["stage2_conv"]["kernel"].shape == (3, 3, 64, 128)
+        # reference skips running stats for the pretrain path
+        assert stats == {}
+        np.testing.assert_allclose(
+            params["stem_bn1"]["scale"],
+            sd["downsample_layers_e.0.1.weight"])
+
+    def test_merges_into_init_tree(self):
+        import jax
+        import jax.numpy as jnp
+        from dfvod_tpu.models.backbone_dformer import DFormerDownsamplePath
+        from dfvod_tpu.utils.checkpoint import (
+            convert_dformer_downsample_path,
+        )
+        rng = np.random.default_rng(1)
+        params, _ = convert_dformer_downsample_path(self._pretrain_sd(rng))
+        m = DFormerDownsamplePath()
+        v = jax.jit(m.init)(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 64, 64, 1)))
+        merged, report = merge_matching(v["params"], params,
+                                        verbose=False)
+        assert report["missing"] == []
+        assert report["unexpected"] == []
+        assert report["shape_mismatch"] == []
+        out = m.apply({"params": merged,
+                       "batch_stats": v["batch_stats"]},
+                      jnp.zeros((1, 64, 64, 1)))
+        assert np.isfinite(np.asarray(out)).all()
+
+
+class TestDFormerFlagResolution:
+    """``main.py:213-214`` semantics: --dformer_weights implies the
+    DFormer backbone; without either flag LateFusion/Encoder_CF fall
+    back to the R18 research depth backbone."""
+
+    def _cfg(self, *argv):
+        from dfvod_tpu.cli.flags import config_from_args, get_args_parser
+        return config_from_args(get_args_parser().parse_args(list(argv)))
+
+    def test_default_is_r18_for_latefusion(self):
+        cfg = self._cfg("--fusion_type", "LateFusion")
+        assert cfg.model.depth_backbone_type == "resnet18"
+
+    def test_dformer_backbone_flag(self):
+        cfg = self._cfg("--fusion_type", "LateFusion", "--dformer_backbone")
+        assert cfg.model.depth_backbone_type == "dformer"
+
+    def test_dformer_weights_implies_backbone(self):
+        cfg = self._cfg("--fusion_type", "Encoder_CrossFusion",
+                        "--dformer_weights", "/tmp/x.pth")
+        assert cfg.model.depth_backbone_type == "dformer"
+        assert cfg.model.dformer_weights == "/tmp/x.pth"
+
+    def test_crossfusion_unaffected(self):
+        cfg = self._cfg("--fusion_type", "Backbone_CrossFusion")
+        assert cfg.model.depth_backbone_type == "dformer"
