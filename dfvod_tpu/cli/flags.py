@@ -87,6 +87,9 @@ def get_args_parser(video: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--cache_mode", action="store_true",
                    help="cache the whole dataset in RAM, sharded per "
                         "host (``main.py:158``)")
+    p.add_argument("--profile_dir", default="", type=str,
+                   help="capture a jax.profiler trace of train steps "
+                        "2-11 into this directory")
     p.add_argument("--remat", action="store_true",
                    help="jax.checkpoint encoder layers (less memory, "
                         "~1 extra forward in backward)")

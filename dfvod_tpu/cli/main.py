@@ -165,11 +165,25 @@ def train_loop(cfg, *, video: bool = False, resume: str = "",
 
     print("Start training")
     t0 = time.time()
+    profile_dir = getattr(cfg.train, "profile_dir", "")
+    profiling = False
+    step_idx = 0
+    # skip compile steps when the run is long enough to afford it
+    profile_start = 2 if steps_per_epoch > 2 else 0
     for epoch in range(start_epoch, cfg.train.epochs):
         train_loader.set_epoch(epoch)
         logger = MetricLogger(print_freq=10)
         for sample in logger.log_every(train_loader,
                                        header=f"Epoch: [{epoch}]"):
+            # trace ~10 post-compile steps into --profile_dir
+            if profile_dir and step_idx == profile_start and not profiling:
+                jax.profiler.start_trace(profile_dir)
+                profiling = True
+            if profiling and step_idx == profile_start + 10:
+                jax.profiler.stop_trace()
+                profiling = False
+                print(f"profile written to {profile_dir}")
+            step_idx += 1
             state, metrics = step_fn(state, to_batch(sample), rng)
             loss = float(metrics["loss"])
             if not np.isfinite(loss):
@@ -191,6 +205,9 @@ def train_loop(cfg, *, video: bool = False, resume: str = "",
         append_log(cfg.output_dir, stats)
         wandb.log(stats)
 
+    if profiling:  # run ended before step 12
+        jax.profiler.stop_trace()
+        print(f"profile written to {profile_dir}")
     print(f"Training time {time.time() - t0:.0f}s")
     eval_stats = evaluate(model, state.variables, val_loader, val_ds.coco,
                           frames=frames)

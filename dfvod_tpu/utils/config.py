@@ -128,6 +128,10 @@ class TrainConfig:
     # bf16 params+activations inside the step (enables the Pallas hat
     # MSDA/RoIAlign kernels in training)
     train_dtype: str = "float32"
+    # capture a jax.profiler trace of early train steps into this dir
+    # (SURVEY.md §5: the TPU-native replacement for the reference's
+    # commented time.time() probes)
+    profile_dir: str = ""
 
 
 @dataclasses.dataclass(frozen=True)

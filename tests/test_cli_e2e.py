@@ -225,3 +225,21 @@ class TestDFormerWeightsE2E:
         # one low-lr epoch on tiny data barely moves the loaded weights;
         # an unloaded xavier init would differ at O(1)
         assert np.abs(got - want).max() < 0.05
+
+
+class TestProfileTrace:
+    def test_train_profile_dir(self, coco_tree, tmp_path):
+        """--profile_dir captures a jax.profiler trace of early steps."""
+        import dataclasses
+
+        from dfvod_tpu.cli.main import train_loop
+        out = tmp_path / "run"
+        prof = tmp_path / "prof"
+        cfg = tiny_train_cfg(coco_tree, out)
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train,
+                                           profile_dir=str(prof)))
+        train_loop(cfg)
+        traces = list(prof.rglob("*.pb")) + list(prof.rglob("*.json.gz")) \
+            + list(prof.rglob("*.xplane.pb"))
+        assert traces, f"no trace artifacts under {prof}"
