@@ -560,16 +560,24 @@ def _hat_bwd_kernel(sx_ref, sy_ref, px_ref, py_ref, aw_ref, value_ref,
 
       G[q, s]   = <go[q, :], v[s, :]>                   (MXU)
       gaw[q, p] = sum_s hx hy G[q, s]                   (VPU reduce)
-      gpx[q, p] = aw[q, p] * sum_s hx' hy G[q, s]       (hx' = -sign(dx))
-      gpy[q, p] = aw[q, p] * sum_s hx hy' G[q, s]
+      gpx[q, p] = aw[q, p] * sum_s cx hy G[q, s]        (VPU reduce)
+      gpy[q, p] = aw[q, p] * sum_s cy hx G[q, s]
       gv[s, d] += sum_q W[q, s] go[q, d]                (MXU, accumulated
                                                          across q blocks)
 
-    Subgradient convention: at |dx| in {0, 1} (sample exactly on a token
-    center / support edge) the tent derivative is taken as 0; the XLA
-    corner formulation uses the one-sided derivative there. Training
-    locations are generic floats, so the two only differ on a measure-
-    zero set.
+    Location gradients use the integer-point sample-difference identity:
+    d/dpx of a piecewise-linear interpolant equals (sample at x=ceil px)
+    - (sample at x=floor px), and a hat evaluated at an integer point is
+    an equality indicator, so ``cx = [sx == floor(px)+1] - [sx ==
+    floor(px)]`` — two eq-compares instead of the sign/select tent-
+    derivative chain (measured 7.6 -> 7.0 ms at the B=8 encoder shape).
+
+    Derivative convention at exactly-integer px: one-sided (right)
+    derivative, matching the CUDA col2im formula
+    (``ms_deform_im2col_cuda.cuh:316-330``: corner-difference weights)
+    and the XLA corner formulation; the previous tent-subgradient kernel
+    returned 0 there. The conventions differ only on the measure-zero
+    integer grid.
     """
     q = pl.program_id(1)
     sx = sx_ref[...]                               # (1, S)
@@ -583,6 +591,8 @@ def _hat_bwd_kernel(sx_ref, sy_ref, px_ref, py_ref, aw_ref, value_ref,
         go, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
     PL = px.shape[1]
+    pxf = jnp.floor(px)                            # (TQ, PL) — tiny
+    pyf = jnp.floor(py)
     gaw_cols, gpx_cols, gpy_cols = [], [], []
     W = None
     for p in range(PL):  # static unroll: PL = L*P
@@ -590,12 +600,15 @@ def _hat_bwd_kernel(sx_ref, sy_ref, px_ref, py_ref, aw_ref, value_ref,
         dy = py[:, p:p + 1] - sy
         hx = jnp.maximum(0.0, 1.0 - jnp.abs(dx))
         hy = jnp.maximum(0.0, 1.0 - jnp.abs(dy))
-        dhx = jnp.where(hx > 0.0, -jnp.sign(dx), 0.0)
-        dhy = jnp.where(hy > 0.0, -jnp.sign(dy), 0.0)
         Ghy = G * hy
+        Ghx = G * hx
         gaw_cols.append(jnp.sum(hx * Ghy, axis=1))
-        gpx_cols.append(aw[:, p] * jnp.sum(dhx * Ghy, axis=1))
-        gpy_cols.append(aw[:, p] * jnp.sum(hx * dhy * G, axis=1))
+        cx = ((sx == pxf[:, p:p + 1] + 1.0).astype(jnp.float32)
+              - (sx == pxf[:, p:p + 1]).astype(jnp.float32))
+        cy = ((sy == pyf[:, p:p + 1] + 1.0).astype(jnp.float32)
+              - (sy == pyf[:, p:p + 1]).astype(jnp.float32))
+        gpx_cols.append(aw[:, p] * jnp.sum(cx * Ghy, axis=1))
+        gpy_cols.append(aw[:, p] * jnp.sum(cy * Ghx, axis=1))
         Wp = (aw[:, p:p + 1] * hx) * hy
         W = Wp if W is None else W + Wp
     gaw_ref[0] = jnp.stack(gaw_cols, axis=1)
