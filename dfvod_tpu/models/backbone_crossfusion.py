@@ -137,8 +137,8 @@ class CrossFusionBackbone(nn.Module):
         x = norm(64, name="bn1")(x)
         x = jax.nn.relu(x)
         x = max_pool_torch(x, 3, 2, 1)
-        x = ResNetStage(64, 3, 1, name="layer1")(x)
-        x_rgb = ResNetStage(128, 4, 2, name="layer2")(x)
+        x = ResNetStage(64, 3, 1, name="layer1")(x, train=train)
+        x_rgb = ResNetStage(128, 4, 2, name="layer2")(x, train=train)
 
         x_d = _conv(d0 // 2, 2, "stem_conv1")(depth)
         x_d = _bn(d0 // 2, "stem_bn1")(x_d, use_running_average=not train)
@@ -156,7 +156,7 @@ class CrossFusionBackbone(nn.Module):
         if 2 in self.return_stages:
             outs[2], masks[2] = x_rgb, mask_rgb
 
-        x_rgb = ResNetStage(256, 6, 2, name="layer3")(x_rgb)
+        x_rgb = ResNetStage(256, 6, 2, name="layer3")(x_rgb, train=train)
         x_d = _bn(self.depth_dims[0], "stage1_bn")(
             x_d, use_running_average=not train)
         x_d = _conv(self.depth_dims[1], 2, "stage1_conv")(x_d)
@@ -169,7 +169,7 @@ class CrossFusionBackbone(nn.Module):
             outs[3], masks[3] = x_rgb, mask_rgb
 
         x_rgb = ResNetStage(512, 3, 2, dilate=self.dilation,
-                            name="layer4")(x_rgb)
+                            name="layer4")(x_rgb, train=train)
         x_d = _bn(self.depth_dims[1], "stage2_bn")(
             x_d, use_running_average=not train)
         x_d = _conv(self.depth_dims[2], 2, "stage2_conv")(x_d)

@@ -11,6 +11,12 @@ requires_grad=False buffers.
 
 Convolutions use explicit torch-style padding (not 'SAME') so that converted
 torchvision checkpoints reproduce reference activations exactly.
+
+``Bottleneck``/``ResNetStage`` are setup-style (explicit param
+declaration) so a stage can read its children's raw weights, fold the
+FrozenBN affine in, and dispatch the whole stage to the fused Pallas
+bottleneck kernel (``ops/fused_bottleneck.py``) in bf16 serving on TPU.
+The parameter tree (``layer1/block_0/conv1/kernel`` etc.) is unchanged.
 """
 from __future__ import annotations
 
@@ -26,20 +32,32 @@ class FrozenBatchNorm(nn.Module):
     features: int
     eps: float = 1e-5
 
-    @nn.compact
-    def __call__(self, x):
+    def setup(self):
         ones = nn.initializers.ones
         zeros = nn.initializers.zeros
-        w = self.variable("constants", "weight", ones, None,
-                          (self.features,), jnp.float32).value
-        b = self.variable("constants", "bias", zeros, None,
-                          (self.features,), jnp.float32).value
-        rm = self.variable("constants", "running_mean", zeros, None,
-                           (self.features,), jnp.float32).value
-        rv = self.variable("constants", "running_var", ones, None,
-                           (self.features,), jnp.float32).value
-        scale = (w * jax.lax.rsqrt(rv + self.eps)).astype(x.dtype)
-        bias = (b - rm * w * jax.lax.rsqrt(rv + self.eps)).astype(x.dtype)
+        self.weight = self.variable("constants", "weight", ones, None,
+                                    (self.features,), jnp.float32)
+        self.bias = self.variable("constants", "bias", zeros, None,
+                                  (self.features,), jnp.float32)
+        self.running_mean = self.variable("constants", "running_mean",
+                                          zeros, None, (self.features,),
+                                          jnp.float32)
+        self.running_var = self.variable("constants", "running_var", ones,
+                                         None, (self.features,),
+                                         jnp.float32)
+
+    def fold(self):
+        """(scale, bias) of the equivalent affine map, in the stored
+        dtype (f32, or bf16 after a serving-mode cast)."""
+        w, b = self.weight.value, self.bias.value
+        rm, rv = self.running_mean.value, self.running_var.value
+        scale = w * jax.lax.rsqrt(rv + self.eps)
+        return scale, b - rm * scale
+
+    def __call__(self, x):
+        scale, bias = self.fold()
+        scale = scale.astype(x.dtype)
+        bias = bias.astype(x.dtype)
         return x * scale[None, None, None, :] + bias[None, None, None, :]
 
 
@@ -53,32 +71,82 @@ def conv(features: int, kernel: int, stride: int = 1, dilation: int = 1,
                    kernel_init=nn.initializers.he_normal())
 
 
+class TorchConv(nn.Module):
+    """Bias-free conv with torch-style explicit padding and an exposed
+    ``weight`` (setup-style, so parents can read it without a call).
+    Same param name/shape as ``nn.Conv`` ("kernel", HWIO)."""
+    in_features: int
+    features: int
+    kernel: int = 1
+    stride: int = 1
+    dilation: int = 1
+
+    def setup(self):
+        self.weight = self.param(
+            "kernel", nn.initializers.he_normal(),
+            (self.kernel, self.kernel, self.in_features, self.features),
+            jnp.float32)
+
+    def __call__(self, x):
+        pad = self.dilation * (self.kernel - 1) // 2
+        w = self.weight
+        dt = jnp.promote_types(x.dtype, w.dtype)
+        return jax.lax.conv_general_dilated(
+            x.astype(dt), w.astype(dt), (self.stride, self.stride),
+            ((pad, pad), (pad, pad)),
+            rhs_dilation=(self.dilation, self.dilation),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class Bottleneck(nn.Module):
     """torchvision Bottleneck block (1x1 -> 3x3 -> 1x1, expansion 4)."""
+    in_features: int
     planes: int
     stride: int = 1
     dilation: int = 1
     downsample: bool = False
     norm: Callable = FrozenBatchNorm
 
-    @nn.compact
+    def setup(self):
+        p = self.planes
+        self.conv1 = TorchConv(self.in_features, p, 1)
+        self.bn1 = self.norm(p)
+        self.conv2 = TorchConv(p, p, 3, self.stride, self.dilation)
+        self.bn2 = self.norm(p)
+        self.conv3 = TorchConv(p, p * 4, 1)
+        self.bn3 = self.norm(p * 4)
+        if self.downsample:
+            self.downsample_conv = TorchConv(self.in_features, p * 4, 1,
+                                             self.stride)
+            self.downsample_bn = self.norm(p * 4)
+
     def __call__(self, x):
         identity = x
-        out = conv(self.planes, 1, name="conv1")(x)
-        out = self.norm(self.planes, name="bn1")(out)
-        out = jax.nn.relu(out)
-        out = conv(self.planes, 3, self.stride, self.dilation,
-                   name="conv2")(out)
-        out = self.norm(self.planes, name="bn2")(out)
-        out = jax.nn.relu(out)
-        out = conv(self.planes * 4, 1, name="conv3")(out)
-        out = self.norm(self.planes * 4, name="bn3")(out)
+        out = jax.nn.relu(self.bn1(self.conv1(x)))
+        out = jax.nn.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
         if self.downsample:
-            identity = conv(self.planes * 4, 1, self.stride,
-                            name="downsample_conv")(x)
-            identity = self.norm(self.planes * 4,
-                                 name="downsample_bn")(identity)
+            identity = self.downsample_bn(self.downsample_conv(x))
         return jax.nn.relu(out + identity)
+
+    def folded_weights(self, dtype):
+        """(w1, b1, w2, b2, w3, b3, wd, bd) with FrozenBN folded in;
+        weights in ``dtype`` (matmul layouts), biases f32."""
+        def fold(cv, bn, squeeze):
+            s, b = bn.fold()
+            w = cv.weight.astype(jnp.float32) * s
+            if squeeze:
+                w = w[0, 0]
+            return w.astype(dtype), b.astype(jnp.float32)
+
+        w1, b1 = fold(self.conv1, self.bn1, True)
+        w2, b2 = fold(self.conv2, self.bn2, False)
+        w3, b3 = fold(self.conv3, self.bn3, True)
+        if self.downsample:
+            wd, bd = fold(self.downsample_conv, self.downsample_bn, True)
+        else:
+            wd = bd = None
+        return (w1, b1, w2, b2, w3, b3, wd, bd)
 
 
 class ResNetStage(nn.Module):
@@ -87,19 +155,41 @@ class ResNetStage(nn.Module):
     stride: int = 1
     dilate: bool = False
     norm: Callable = FrozenBatchNorm
+    in_features: Optional[int] = None  # torchvision default wiring
+    allow_fused: bool = True
 
-    @nn.compact
-    def __call__(self, x):
+    def _in_features(self) -> int:
+        if self.in_features is not None:
+            return self.in_features
+        # torchvision: layer1 reads the 64-ch stem, layerN reads the
+        # previous stage's planes*2 (= this stage's planes*2)
+        return 64 if self.planes == 64 else self.planes * 2
+
+    def setup(self):
         # torchvision replace_stride_with_dilation: the stage keeps stride 1
         # and later blocks dilate; the first block uses the *previous*
         # dilation (=1 for layer4 in DC5 ResNet-50).
         stride = 1 if self.dilate else self.stride
-        x = Bottleneck(self.planes, stride, 1, downsample=True,
-                       norm=self.norm, name="block_0")(x)
         dil = self.stride if self.dilate else 1
-        for i in range(1, self.blocks):
-            x = Bottleneck(self.planes, 1, dil, norm=self.norm,
-                           name=f"block_{i}")(x)
+        for i in range(self.blocks):
+            if i == 0:
+                blk = Bottleneck(self._in_features(), self.planes, stride,
+                                 1, downsample=True, norm=self.norm)
+            else:
+                blk = Bottleneck(self.planes * 4, self.planes, 1, dil,
+                                 norm=self.norm)
+            setattr(self, f"block_{i}", blk)
+
+    def __call__(self, x, *, train: bool = False):
+        blocks = [getattr(self, f"block_{i}") for i in range(self.blocks)]
+        if (self.allow_fused and not train and self.stride == 1
+                and not self.dilate and self.norm is FrozenBatchNorm):
+            from dfvod_tpu.ops import fused_bottleneck as fb
+            if fb.supported(x, self.blocks):
+                return fb.fused_bottleneck_stage(
+                    x, [b.folded_weights(x.dtype) for b in blocks])
+        for b in blocks:
+            x = b(x)
         return x
 
 
@@ -166,9 +256,15 @@ class ResNet50(nn.Module):
     return_stages: Sequence[int] = (4,)
     norm: Callable = FrozenBatchNorm
     stem_s2d: bool = True  # exact space-to-depth conv1 (see StemConvS2D)
+    # Fused Pallas bottleneck stage (ops/fused_bottleneck.py): measured
+    # SLOWER in-model on the 2026-08 toolchain (layer1 at B=8 608x800:
+    # backbone 8.1 -> 9.9 ms; the scoped-VMEM stack forces 8-row tiles
+    # -> 1.75x halo recompute, and C=64 caps the MXU at ~25% either
+    # way). Kept opt-in with parity tests; see PERF.md.
+    fused_stages: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, *, train: bool = False):
         outs = {}
         H, W = x.shape[1], x.shape[2]
         if self.stem_s2d and H % 2 == 0 and W % 2 == 0:
@@ -178,16 +274,21 @@ class ResNet50(nn.Module):
         x = self.norm(64, name="bn1")(x)
         x = jax.nn.relu(x)
         x = max_pool_torch(x, 3, 2, 1)
-        x = ResNetStage(64, 3, 1, name="layer1")(x)
+        x = ResNetStage(64, 3, 1, norm=self.norm,
+                        allow_fused=self.fused_stages,
+                        name="layer1")(x, train=train)
         if 1 in self.return_stages:
             outs[1] = x
-        x = ResNetStage(128, 4, 2, name="layer2")(x)
+        x = ResNetStage(128, 4, 2, norm=self.norm,
+                        name="layer2")(x, train=train)
         if 2 in self.return_stages:
             outs[2] = x
-        x = ResNetStage(256, 6, 2, name="layer3")(x)
+        x = ResNetStage(256, 6, 2, norm=self.norm,
+                        name="layer3")(x, train=train)
         if 3 in self.return_stages:
             outs[3] = x
-        x = ResNetStage(512, 3, 2, dilate=self.dilation, name="layer4")(x)
+        x = ResNetStage(512, 3, 2, dilate=self.dilation, norm=self.norm,
+                        name="layer4")(x, train=train)
         if 4 in self.return_stages:
             outs[4] = x
         return outs

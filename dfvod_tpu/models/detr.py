@@ -142,7 +142,7 @@ class DeformableDETR(nn.Module):
             feats, feat_masks, dfeat, dmask = self.backbone(
                 rgb, depth, mask, train=train, deterministic=deterministic)
         else:
-            stage_outs = self.backbone(rgb)
+            stage_outs = self.backbone(rgb, train=train)
             feats = [stage_outs[s] for s in cfg.backbone_stages]
             feat_masks = [downsample_mask(mask, f.shape[1:3])
                           for f in feats]
