@@ -49,13 +49,29 @@ def _contains(path: Tuple[str, ...], *subs: str) -> bool:
 
 
 def param_group_label(path: Tuple[str, ...], fusion_type: str,
-                      fixed_pretrained_model: bool = False) -> str:
+                      fixed_pretrained_model: bool = False,
+                      temporal: bool = False) -> str:
     """Label one parameter path. Labels: base | backbone | linear_proj |
-    fusion10x | frozen."""
+    fusion10x | frozen.
+
+    ``temporal=True`` (TransVOD/TransVOD++ training): the reference's
+    video optimizer is a FLAT 2-group AdamW — base lr + 0.1x for the
+    linear projections over all requires_grad params
+    (``main_multi.py:282-293``) — the per-fusion freezing/10x policies
+    apply only to single-frame training (``main.py:311-421``). The
+    ``fixed_pretrained_model`` freeze-all-but-temporal mode
+    (``main_multi.py:380-386``) still applies.
+    """
     if fixed_pretrained_model and not _contains(path, *TEMPORAL_NAMES):
         return "frozen"
     is_proj = _contains(path, *LINEAR_PROJ_NAMES)
-    rgb_backbone = path[0] == "backbone"
+    if temporal:
+        return "linear_proj" if is_proj else "base"
+    # the spatial trunk nests under "detr" inside temporal models; accept
+    # both so the single-frame rules stay robust to wrapping
+    rgb_backbone = (path[0] == "backbone"
+                    or (len(path) > 1 and path[0] == "detr"
+                        and path[1] == "backbone"))
 
     if fusion_type == "LateFusion":
         if rgb_backbone:
@@ -82,7 +98,8 @@ def param_group_label(path: Tuple[str, ...], fusion_type: str,
 
 
 def label_params(params, fusion_type: str,
-                 fixed_pretrained_model: bool = False):
+                 fixed_pretrained_model: bool = False,
+                 temporal: bool = False):
     """Map a param pytree to a same-shaped tree of group labels."""
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     labels = {}
@@ -90,7 +107,7 @@ def label_params(params, fusion_type: str,
         path = tuple(getattr(k, "key", getattr(k, "name", str(k)))
                      for k in kp)
         labels[path] = param_group_label(path, fusion_type,
-                                         fixed_pretrained_model)
+                                         fixed_pretrained_model, temporal)
     treedef = jax.tree_util.tree_structure(params)
     return jax.tree_util.tree_unflatten(
         treedef, [labels[tuple(getattr(k, "key", getattr(k, "name", str(k)))
@@ -137,7 +154,8 @@ def build_optimizer(params, model_cfg, train_cfg,
             learning_rate=lr, weight_decay=train_cfg.weight_decay)
 
     labels = label_params(params, model_cfg.fusion_type,
-                          model_cfg.fixed_pretrained_model)
+                          model_cfg.fixed_pretrained_model,
+                          temporal=model_cfg.temporal_mode != "none")
     tx = optax.chain(
         optax.clip_by_global_norm(train_cfg.clip_max_norm),
         optax.multi_transform({k: group(v) for k, v in mults.items()},

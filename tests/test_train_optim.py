@@ -193,3 +193,33 @@ class TestResNetConverter:
             ref = np.transpose(t_outs[s - 1].numpy(), (0, 2, 3, 1))
             got = np.asarray(j_outs[s])
             np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-4)
+
+
+class TestVideoLabeling:
+    def test_video_uses_flat_groups(self):
+        """Video training = the reference's flat 2-group optimizer
+        (``main_multi.py:282-293``): no per-fusion freezing/10x even for
+        LateFusion; linear projections still get the 0.1x group."""
+        lab = lambda *p: param_group_label(  # noqa: E731
+            p, "LateFusion", temporal=True)
+        assert lab("detr", "backbone", "conv1", "kernel") == "base"
+        assert lab("detr", "transformer", "depth_encoder_layer",
+                   "cross_attn", "value_proj", "kernel") == "base"
+        assert lab("detr", "transformer", "decoder_layers_0", "cross_attn",
+                   "sampling_offsets", "kernel") == "linear_proj"
+        assert lab("temporal_query_layer1", "self_attn", "q_proj",
+                   "kernel") == "base"
+
+    def test_video_fixed_pretrained_freezes_spatial(self):
+        lab = lambda *p: param_group_label(  # noqa: E731
+            p, "LateFusion", fixed_pretrained_model=True, temporal=True)
+        assert lab("detr", "backbone", "conv1", "kernel") == "frozen"
+        assert lab("temp_head_0", "class_embed", "kernel") != "frozen"
+        assert lab("qrf_dynamic_layer1", "dynamic_layer",
+                   "kernel") != "frozen"
+
+    def test_single_frame_accepts_detr_nesting(self):
+        """The spatial trunk nests under 'detr' inside temporal models;
+        the single-frame backbone rules must see through the wrapper."""
+        assert param_group_label(("detr", "backbone", "conv1", "kernel"),
+                                 "LateFusion") == "frozen"
