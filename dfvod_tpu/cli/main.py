@@ -95,7 +95,7 @@ def train_loop(cfg, *, video: bool = False, resume: str = "",
         return batch
 
     batch = to_batch(train_loader.first_batch())
-    state, tx, _ = create_train_state(
+    state, tx, labels = create_train_state(
         jax.random.PRNGKey(cfg.train.seed), model, cfg, batch,
         steps_per_epoch)
     n_params = sum(np.prod(x.shape) for x in
@@ -159,7 +159,8 @@ def train_loop(cfg, *, video: bool = False, resume: str = "",
 
     step_fn = make_train_step(model, criterion, tx, mesh=mesh,
                               frames=frames,
-                              train_dtype=cfg.train.train_dtype)
+                              train_dtype=cfg.train.train_dtype,
+                              labels=labels)
     wandb = WandbLogger(wandb_enabled, config={"cfg": str(cfg)})
     rng = jax.random.PRNGKey(cfg.train.seed + 1)
 

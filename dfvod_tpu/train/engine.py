@@ -59,7 +59,7 @@ def create_train_state(rng, model, cfg, sample_batch,
 
 def make_train_step(model, criterion, tx, mesh: Optional[Mesh] = None,
                     donate: bool = True, frames: int = 1,
-                    train_dtype: str = "float32"):
+                    train_dtype: str = "float32", labels=None):
     """Build the jitted train step.
 
     batch: dict with images (B,H,W,C), mask (B,H,W) bool,
@@ -77,6 +77,17 @@ def make_train_step(model, criterion, tx, mesh: Optional[Mesh] = None,
     the cast's transpose returns f32 cotangents to the master params.
     Mutable batch_stats are kept f32 (flax computes train-mode BN stats
     from the batch itself, so they never enter forward math).
+
+    ``labels``: the optimizer label tree from ``build_optimizer``. When
+    given, parameters labeled "frozen" are ``stop_gradient``-ed inside
+    ``loss_fn`` — the exact semantics of the reference's
+    ``requires_grad=False`` freezing (``main.py:311-421``): their
+    backward chain is never traced (XLA skips, e.g., the whole RGB
+    backbone backward in LateFusion/Encoder-CF training: 147.5 -> 117.8
+    ms/step at B=8, LateFusion bf16), their gradients are exact zeros, and — matching
+    ``clip_grad_norm_`` over torch params whose ``.grad`` is None —
+    they no longer contribute to the global clip norm. Without
+    ``labels`` the old compute-then-zero behavior is kept.
     """
 
     def key_frames(x):
@@ -113,6 +124,11 @@ def make_train_step(model, criterion, tx, mesh: Optional[Mesh] = None,
                            for k, v in model_state.items()}
 
         def loss_fn(params):
+            if labels is not None:
+                params = jax.tree_util.tree_map(
+                    lambda p, l: (jax.lax.stop_gradient(p)
+                                  if l == "frozen" else p),
+                    params, labels)
             if bf16_train:
                 params = to_bf16(params)
             variables = {"params": params, **model_state}

@@ -52,10 +52,10 @@ def measure(train_dtype: str, B: int, iters: int) -> float:
                          (B, T, 1)),
         "valid": np.tile(np.arange(T) < 2, (B, 1)),
     }
-    state, tx, _ = create_train_state(jax.random.PRNGKey(0), model, cfg,
-                                      batch, steps_per_epoch=100)
+    state, tx, labels = create_train_state(jax.random.PRNGKey(0), model,
+                                           cfg, batch, steps_per_epoch=100)
     step = make_train_step(model, criterion, tx, donate=False,
-                           train_dtype=train_dtype)
+                           train_dtype=train_dtype, labels=labels)
     batch_dev = jax.device_put(batch)
     key = jax.random.PRNGKey(1)
 
