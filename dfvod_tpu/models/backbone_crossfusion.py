@@ -35,7 +35,9 @@ from dfvod_tpu.models.backbone_resnet import (
     downsample_mask,
     max_pool_torch,
 )
-from dfvod_tpu.models.position_encoding import sine_position_embedding
+from dfvod_tpu.models.position_encoding import (
+    sine_position_embedding_rect as sine_position_embedding,
+)
 from dfvod_tpu.models.transformer import (
     DepthFusionLayer,
     encoder_reference_points,

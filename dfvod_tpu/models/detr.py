@@ -24,7 +24,9 @@ import jax
 from dfvod_tpu.models.backbone_crossfusion import CrossFusionBackbone
 from dfvod_tpu.models.backbone_dformer import DFormerBackbone
 from dfvod_tpu.models.backbone_resnet import ResNet50, downsample_mask
-from dfvod_tpu.models.position_encoding import sine_position_embedding
+from dfvod_tpu.models.position_encoding import (
+    sine_position_embedding_rect as sine_position_embedding,
+)
 from dfvod_tpu.models.transformer import DeformableTransformer
 from dfvod_tpu.utils.config import ModelConfig
 

@@ -45,6 +45,56 @@ def sine_position_embedding(not_mask, num_pos_feats: int = 128,
     return jnp.concatenate([pos_y, pos_x], axis=-1)
 
 
+def _interleave_sincos(vals, dim_t):
+    """vals (..., 1) / dim_t (F,) -> DETR sin/cos interleave (..., F)."""
+    p = vals / dim_t
+    return jnp.stack([jnp.sin(p[..., 0::2]), jnp.cos(p[..., 1::2])],
+                     axis=-1).reshape(*p.shape[:-1], -1)
+
+
+def sine_position_embedding_rect(not_mask, num_pos_feats: int = 128,
+                                 temperature: float = 10000.0,
+                                 scale: float = 2 * math.pi):
+    """``sine_position_embedding`` specialized to rectangular top-left
+    validity masks — the only masks this model ever produces (bucket
+    padding is bottom/right; same assumption as ``get_valid_ratio``).
+
+    For a rectangular mask the cumsum field is product-separable:
+    ``y_embed[i, j] = min(i+1, valid_h) * colvalid[j]``, so after
+    normalization every pixel's value is either a row-table entry or the
+    padded-region constant ``-0.5/eps * scale``. That turns the
+    (B, H, W, 2F) transcendental grid (9.7M sin/cos at the 38x50
+    production shape) into (B, (H+W), F) tables (~90k) plus broadcasts
+    and selects. Output is exactly equal to the general form (tested).
+    """
+    not_mask = not_mask.astype(jnp.float32)
+    B, H, W = not_mask.shape
+    eps = 1e-6
+    valid_h = jnp.sum(not_mask[:, :, 0], axis=1)      # (B,)
+    valid_w = jnp.sum(not_mask[:, 0, :], axis=1)
+    rows = jnp.arange(1, H + 1, dtype=jnp.float32)
+    cols = jnp.arange(1, W + 1, dtype=jnp.float32)
+    r = jnp.minimum(rows[None, :], valid_h[:, None])  # (B, H) cumsum row
+    c = jnp.minimum(cols[None, :], valid_w[:, None])  # (B, W)
+    r = (r - 0.5) / (valid_h[:, None] + eps) * scale
+    c = (c - 0.5) / (valid_w[:, None] + eps) * scale
+    k = jnp.float32(-0.5 / eps * scale)               # padded-region value
+
+    dim_t = jnp.arange(num_pos_feats, dtype=jnp.float32)
+    dim_t = temperature ** (2 * jnp.floor(dim_t / 2) / num_pos_feats)
+    ty = _interleave_sincos(r[..., None], dim_t)      # (B, H, F)
+    tx = _interleave_sincos(c[..., None], dim_t)      # (B, W, F)
+    tk = _interleave_sincos(jnp.full((1,), k), dim_t)  # (F,)
+
+    rowvalid = not_mask[:, :, 0] > 0                  # (B, H)
+    colvalid = not_mask[:, 0, :] > 0                  # (B, W)
+    pos_y = jnp.where(colvalid[:, None, :, None],
+                      ty[:, :, None, :], tk)          # (B, H, W, F)
+    pos_x = jnp.where(rowvalid[:, :, None, None],
+                      tx[:, None, :, :], tk)
+    return jnp.concatenate([pos_y, pos_x], axis=-1)
+
+
 class PositionEmbeddingLearned(nn.Module):
     """Learned absolute embedding (``position_encoding.py:59-84``)."""
     num_pos_feats: int = 128
