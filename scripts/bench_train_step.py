@@ -6,7 +6,9 @@ fori_loop with the TrainState as carry (each step consumes the previous
 step's params — nothing can be hoisted or elided), one scalar readback,
 RPC round-trip subtracted.
 
-Usage: python scripts/bench_train_step.py [batch] [iters]
+Usage: python scripts/bench_train_step.py [batch] [iters] [dtype] [remat]
+(remat: pass "remat" to jax.checkpoint the encoder layers — the memory
+dial that may move the B=16 spill regression, PERF.md batch scaling).
 """
 import os
 import sys
@@ -35,10 +37,11 @@ def rpc_cost():
     return min(ts)
 
 
-def measure(train_dtype: str, B: int, iters: int) -> float:
+def measure(train_dtype: str, B: int, iters: int,
+            remat: bool = False) -> float:
     cfg = Config(
         model=ModelConfig(use_depth=True, fusion_type="LateFusion",
-                          num_classes=3),
+                          num_classes=3, remat=remat),
         train=TrainConfig(batch_size=B, train_dtype=train_dtype),
         data=DataConfig(use_depth=True))
     model, criterion, _ = build_model(cfg)
@@ -81,10 +84,11 @@ def main():
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     dtypes = ([sys.argv[3]] if len(sys.argv) > 3
               else ["float32", "bfloat16"])
+    remat = len(sys.argv) > 4 and sys.argv[4] == "remat"
     for td in dtypes:
-        dt = measure(td, B, iters)
-        print(f"train_dtype={td:9s} B={B}: {dt * 1e3:8.1f} ms/step "
-              f"({B / dt:6.1f} frames/s)")
+        dt = measure(td, B, iters, remat=remat)
+        print(f"train_dtype={td:9s} B={B} remat={remat}: "
+              f"{dt * 1e3:8.1f} ms/step ({B / dt:6.1f} frames/s)")
 
 
 if __name__ == "__main__":
