@@ -237,6 +237,47 @@ class TestTemporalModels:
              "enc_outputs": sf["enc_outputs"]}, targets)
         assert np.isfinite(float(total))
 
+    def test_two_stage_transvod_pp_train_step(self):
+        """One full gradient step on two_stage + TransVOD++ (ROADMAP gap
+        #5's remaining half): the combination must not just trace — the
+        backward through encoder proposals (stop_gradient on topk coords),
+        QRF and the temporal rounds must produce finite grads and update
+        the temporal heads."""
+        import dataclasses
+        from dfvod_tpu.train import create_train_state, make_train_step
+        from dfvod_tpu.utils.config import TrainConfig
+        cfg = tiny_cfg("transvod_pp", n_ref=2)
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, two_stage=True),
+            train=TrainConfig(lr=1e-4))
+        model, criterion, _ = build_model(cfg)
+        F, B, T = 3, 1, 4
+        rng = np.random.default_rng(3)
+        batch = {
+            "images": rng.standard_normal(
+                (B * F, 64, 64, 3)).astype(np.float32),
+            "mask": np.zeros((B * F, 64, 64), bool),
+            "labels": np.ones((B * F, T), np.int32),
+            "boxes": np.tile(np.array([0.5, 0.5, 0.2, 0.2], np.float32),
+                             (B * F, T, 1)),
+            "valid": np.tile(np.arange(T) < 2, (B * F, 1)),
+        }
+        state, tx, labels = create_train_state(
+            jax.random.PRNGKey(0), model, cfg, batch, steps_per_epoch=10)
+        step = make_train_step(model, criterion, tx, donate=False,
+                               frames=F, labels=labels)
+        new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["loss"]))
+        assert np.isfinite(float(metrics["grad_norm"]))
+        # temporal-head params moved
+        before = jax.tree_util.tree_leaves(
+            {k: v for k, v in state.params.items() if "temp" in k})
+        after = jax.tree_util.tree_leaves(
+            {k: v for k, v in new_state.params.items() if "temp" in k})
+        assert before and any(
+            not np.array_equal(np.asarray(a), np.asarray(b))
+            for a, b in zip(before, after))
+
     def test_transvod_forward(self):
         cfg = tiny_cfg("transvod", n_ref=2)
         model, _, _ = build_model(cfg)
