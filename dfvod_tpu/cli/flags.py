@@ -87,6 +87,10 @@ def get_args_parser(video: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--cache_mode", action="store_true",
                    help="cache the whole dataset in RAM, sharded per "
                         "host (``main.py:158``)")
+    p.add_argument("--num_workers", default=0, type=int,
+                   help="loader worker threads for batch fetch/decode/"
+                        "augment (``main.py:156``); 0 = single prefetch "
+                        "thread")
     p.add_argument("--profile_dir", default="", type=str,
                    help="capture a jax.profiler trace of train steps "
                         "2-11 into this directory")

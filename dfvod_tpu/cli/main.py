@@ -76,6 +76,7 @@ def train_loop(cfg, *, video: bool = False, resume: str = "",
     common = dict(max_boxes=cfg.data.max_boxes, use_depth=cfg.data.use_depth,
                   seed=cfg.train.seed, mesh=mesh,
                   device_preprocess=cfg.data.device_preprocess,
+                  num_workers=cfg.data.num_workers,
                   rank=jax.process_index(), world=jax.process_count())
     train_loader = Loader(train_ds, make_transform(True, cfg),
                           batch_size=cfg.train.batch_size, shuffle=True,

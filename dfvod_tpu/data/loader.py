@@ -56,7 +56,7 @@ class Loader:
                  mesh=None, clip_parallel: bool = False,
                  drop_last: bool = False, prefetch: int = 2,
                  bucket_step: int = 128, pad_cap: int = 1344,
-                 device_preprocess: bool = False):
+                 device_preprocess: bool = False, num_workers: int = 0):
         self.dataset = dataset
         self.transform = transform
         self.batch_size = batch_size
@@ -74,6 +74,12 @@ class Loader:
         # ship uint8 + sizes; normalization/mask happen inside the jitted
         # step (``data/device_pipeline.py``) — 4x less H2D traffic
         self.device_preprocess = device_preprocess
+        # ``--num_workers`` parity (reference ``main.py:156``, DataLoader
+        # worker processes): >0 fans batch fetch+decode+augment out to a
+        # thread pool (PIL/cv2 release the GIL during decode). Batches
+        # stay in order and augmentation draws are deterministic per
+        # (seed, epoch, rank, batch index) regardless of worker count.
+        self.num_workers = num_workers
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -114,12 +120,10 @@ class Loader:
         from dfvod_tpu.parallel import shard_batch
         return shard_batch(batch, self.mesh, self.clip_parallel)
 
-    def _host_batches(self) -> Iterator[dict]:
+    def _batch_chunks(self) -> Iterator[np.ndarray]:
         idx = shard_indices(len(self.dataset), self.rank, self.world,
                             shuffle=self.shuffle, seed=self.seed,
                             epoch=self.epoch)
-        rng = np.random.default_rng(
-            (self.seed, self.epoch, self.rank))
         for i in range(0, len(idx), self.batch_size):
             chunk = idx[i:i + self.batch_size]
             if self.drop_last and len(chunk) < self.batch_size:
@@ -128,7 +132,16 @@ class Loader:
             if len(chunk) < self.batch_size:
                 chunk = np.concatenate(
                     [chunk, idx[: self.batch_size - len(chunk)]])
-            yield self._collate([self.dataset[int(j)] for j in chunk], rng)
+            yield chunk
+
+    def _make_batch(self, batch_index: int, chunk: np.ndarray) -> dict:
+        rng = np.random.default_rng(
+            (self.seed, self.epoch, self.rank, batch_index))
+        return self._collate([self.dataset[int(j)] for j in chunk], rng)
+
+    def _host_batches(self) -> Iterator[dict]:
+        for bi, chunk in enumerate(self._batch_chunks()):
+            yield self._make_batch(bi, chunk)
 
     def first_batch(self) -> dict:
         """One batch, synchronously — for shape/state initialization.
@@ -136,7 +149,26 @@ class Loader:
         full queue holding batches in host RAM.)"""
         return self._device_put(next(self._host_batches()))
 
+    def _pool_batches(self) -> Iterator[dict]:
+        """num_workers > 0: fetch/decode/augment whole batches in a
+        thread pool, a bounded window ahead, yielding in order."""
+        from concurrent.futures import ThreadPoolExecutor
+        from collections import deque
+        window = self.num_workers + self.prefetch
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            pending: deque = deque()
+            for bi, chunk in enumerate(self._batch_chunks()):
+                pending.append(pool.submit(self._make_batch, bi, chunk))
+                if len(pending) >= window:
+                    yield pending.popleft().result()
+            while pending:
+                yield pending.popleft().result()
+
     def __iter__(self) -> Iterator[dict]:
+        if self.num_workers > 0:
+            for b in self._pool_batches():
+                yield self._device_put(b)
+            return
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = object()
 

@@ -161,6 +161,9 @@ class DataConfig:
     # whole-dataset in-RAM byte cache, sharded across loader workers
     # (``main.py:158`` --cache_mode + NodeDistributedSampler pairing)
     cache_mode: bool = False
+    # loader worker threads (``main.py:156`` --num_workers); 0 = the
+    # single double-buffering prefetch thread
+    num_workers: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -76,6 +76,12 @@ class TestFlags:
         assert cfg.model.remat
         assert cfg.data.device_preprocess
 
+    def test_num_workers(self):
+        _, cfg = parse(["--num_workers", "4"])
+        assert cfg.data.num_workers == 4
+        _, cfg = parse([])
+        assert cfg.data.num_workers == 0
+
     def test_no_aux_loss(self):
         _, cfg = parse(["--no_aux_loss"])
         assert not cfg.model.aux_loss

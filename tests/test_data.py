@@ -187,6 +187,47 @@ class TestLoader:
             assert b["image"].shape[0] == 3
             assert b["boxes"].shape == (3, 4, 4)
 
+    def test_num_workers_batches_identical(self, coco_dir):
+        """``num_workers`` parallel fetch yields bit-identical batches in
+        the same order as the single-thread path — augmentation draws are
+        keyed on (seed, epoch, rank, batch index), not worker schedule."""
+        root, ann = coco_dir
+        ds = CocoDetectionDataset(str(root), ann, use_depth=True)
+
+        def run(num_workers):
+            loader = Loader(ds, TrainTransform(short_sides=(32, 48),
+                                               max_size=64),
+                            batch_size=3, max_boxes=4, use_depth=True,
+                            shuffle=True, seed=7, bucket_step=32,
+                            pad_cap=64, num_workers=num_workers)
+            loader.set_epoch(1)
+            return list(loader)
+
+        a, b = run(0), run(3)
+        assert len(a) == len(b)
+        for x, y in zip(a, b):
+            for k in x:
+                np.testing.assert_array_equal(x[k], y[k], err_msg=k)
+
+    def test_num_workers_exception_propagates(self, coco_dir):
+        root, ann = coco_dir
+        ds = CocoDetectionDataset(str(root), ann, use_depth=False)
+
+        class Broken:
+            def __len__(self):
+                return len(ds)
+
+            def __getitem__(self, i):
+                if i == 5:
+                    raise OSError("corrupt jpeg")
+                return ds[i]
+
+        loader = Loader(Broken(), EvalTransform(short_side=48, max_size=64),
+                        batch_size=2, max_boxes=4, shuffle=False,
+                        bucket_step=32, pad_cap=64, num_workers=2)
+        with pytest.raises(OSError, match="corrupt jpeg"):
+            list(loader)
+
     def test_video_loader_frame_batching(self, coco_dir):
         root, ann = coco_dir
         ds = CocoVideoDataset(str(root), ann, num_ref_frames=2,
