@@ -112,22 +112,16 @@ class TestNameMapping:
         assert "dynamic_layer" in get(params, "qrf_dynamic_layer1",
                                       "inst_interact")
 
-    def test_full_model_coverage_baseline(self, rng):
-        """Converted keys for a reference-shaped Baseline checkpoint cover
-        our full Baseline param tree (no missing leaves outside known
-        gaps)."""
+    def _coverage_check(self, rng, cfg, sd_extra=None, in_ch=3):
+        """Synthesize a reference-shaped state dict for ``cfg``'s trunk,
+        convert it, and assert it covers our full param tree."""
         import jax
         import jax.numpy as jnp
         from dfvod_tpu.models import build_model
-        from dfvod_tpu.utils.config import Config, ModelConfig
+        from dfvod_tpu.utils.config import Config, ModelConfig  # noqa: F401
 
-        cfg = Config(model=ModelConfig(
-            num_classes=3, num_queries=6, hidden_dim=32, nheads=4,
-            enc_layers=2, dec_layers=2, dim_feedforward=64,
-            num_feature_levels=1, fusion_type="Baseline",
-            with_box_refine=True, dilation=True))
         model, _, _ = build_model(cfg)
-        images = jnp.zeros((1, 64, 64, 3))
+        images = jnp.zeros((1, 64, 64, in_ch))
         mask = jnp.zeros((1, 64, 64), bool)
         variables = jax.eval_shape(
             lambda r: model.init(r, images, mask, train=False),
@@ -135,7 +129,7 @@ class TestNameMapping:
 
         # synthesize the reference-shaped state dict from our shape tree
         sd = {}
-        C = 32
+        C = cfg.model.hidden_dim
 
         def leaf(shape):
             return rnd(rng, *shape)
@@ -145,6 +139,8 @@ class TestNameMapping:
         import torch.nn as tnn  # noqa: F401  (torch presence check)
         for tname, shape in _resnet_names():
             sd[f"backbone.0.body.{tname}"] = leaf(shape)
+        if sd_extra:
+            sd.update(sd_extra)
         for i in range(cfg.model.enc_layers):
             b = f"transformer.encoder.layers.{i}"
             sd.update(_msda_names(f"{b}.self_attn", C, 1, 4, rng))
@@ -195,12 +191,81 @@ class TestNameMapping:
                 variables["params"]), params, verbose=False)
         assert report["missing"] == [], report["missing"][:10]
         assert report["shape_mismatch"] == [], report["shape_mismatch"][:5]
-        _, report_c = merge_matching(
-            jax.tree_util.tree_map(
-                lambda s: np.zeros(s.shape, np.float32),
-                variables["constants"]),
-            model_state["constants"], verbose=False)
-        assert report_c["missing"] == []
+        for coll in ("constants", "batch_stats"):
+            if coll not in variables:
+                continue
+            _, report_c = merge_matching(
+                jax.tree_util.tree_map(
+                    lambda s: np.zeros(s.shape, np.float32),
+                    variables[coll]),
+                model_state[coll], verbose=False)
+            assert report_c["missing"] == [], (coll,
+                                               report_c["missing"][:10])
+
+    def test_full_model_coverage_baseline(self, rng):
+        """Converted keys for a reference-shaped Baseline checkpoint cover
+        our full Baseline param tree (no missing leaves outside known
+        gaps)."""
+        from dfvod_tpu.utils.config import Config, ModelConfig
+        cfg = Config(model=ModelConfig(
+            num_classes=3, num_queries=6, hidden_dim=32, nheads=4,
+            enc_layers=2, dec_layers=2, dim_feedforward=64,
+            num_feature_levels=1, fusion_type="Baseline",
+            with_box_refine=True, dilation=True))
+        self._coverage_check(rng, cfg)
+
+    def test_full_model_coverage_latefusion(self, rng):
+        """Same zero-missing-keys guarantee for the flagship LateFusion
+        RGB-D config: DFormer depth backbone
+        (``depth_backbone.0.depth_backbone.*``), the depth input
+        projection (``input_proj_depth.*``) and the depth cross-attn
+        layer (``transformer.depth_encoder_layer.*``,
+        ``deformable_transformer_single.py:341-402``)."""
+        from dfvod_tpu.utils.config import Config, ModelConfig
+        C = 32
+        cfg = Config(model=ModelConfig(
+            num_classes=3, num_queries=6, hidden_dim=C, nheads=4,
+            enc_layers=2, dec_layers=2, dim_feedforward=64,
+            num_feature_levels=1, fusion_type="LateFusion",
+            use_depth=True, depth_backbone_type="dformer",
+            with_box_refine=True, dilation=True))
+        extra = {}
+
+        def leaf(*shape):
+            return rnd(rng, *shape)
+
+        # DFormer DownsamplePath, dims (32, 64, 128), stem 16 -> 32
+        de = "depth_backbone.0.depth_backbone.downsample_layers_e"
+        for name, cin, cout in (("0.0", 1, 16), ("0.3", 16, 32)):
+            extra[f"{de}.{name}.weight"] = leaf(cout, cin, 3, 3)
+            extra[f"{de}.{name}.bias"] = leaf(cout)
+        for name, ch in (("0.1", 16), ("0.4", 32), ("1.0", 32),
+                         ("2.0", 64)):
+            for bnleaf in ("weight", "bias", "running_mean",
+                           "running_var"):
+                extra[f"{de}.{name}.{bnleaf}"] = leaf(ch)
+        for name, cin, cout in (("1.1", 32, 64), ("2.1", 64, 128)):
+            extra[f"{de}.{name}.weight"] = leaf(cout, cin, 3, 3)
+            extra[f"{de}.{name}.bias"] = leaf(cout)
+        # depth input projection: DFormer 128ch -> d_model, conv + GN
+        extra["input_proj_depth.0.0.weight"] = leaf(C, 128, 1, 1)
+        extra["input_proj_depth.0.0.bias"] = leaf(C)
+        extra["input_proj_depth.0.1.weight"] = leaf(C)
+        extra["input_proj_depth.0.1.bias"] = leaf(C)
+        # LateFusion depth cross-attn layer (single-linear GELU FFN +
+        # scale adapters)
+        b = "transformer.depth_encoder_layer"
+        extra.update(_msda_names(f"{b}.cross_attn", C, 1, 4, rng))
+        for mod, shapes in (
+                ("norm1", [(C,), (C,)]),
+                ("norm3", [(C,), (C,)]),
+                ("norm_depth_scale", [(C,), (C,)]),
+                ("linear1", [(C, C), (C,)]),
+                ("depth_scale_adapt", [(C, C), (C,)]),
+                ("cross_scale_adapt", [(C, C), (C,)])):
+            extra[f"{b}.{mod}.weight"] = leaf(*shapes[0])
+            extra[f"{b}.{mod}.bias"] = leaf(*shapes[1])
+        self._coverage_check(rng, cfg, sd_extra=extra, in_ch=4)
 
 
 def _msda_names(prefix, C, L, P, rng):
