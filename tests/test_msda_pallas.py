@@ -284,6 +284,55 @@ class TestHatBackwardKernel:
         np.testing.assert_allclose(np.asarray(gl), 0.0, atol=1e-6)
         np.testing.assert_allclose(np.asarray(ga), 0.0, atol=1e-6)
 
+    def test_deriv_variants_agree(self, rng):
+        """The MXU-derivative variant (indicator-matmul gaw/gpx/gpy,
+        ``_msda_hat_bwd_mxu_kernel_factory``) must match the VPU
+        lane-reduction variant — the contraction against the constant
+        0/1 column/row indicator matrices is an exact identity."""
+        from dfvod_tpu.ops.msda import ms_deform_attn_flat
+        from dfvod_tpu.ops.msda_pallas import ms_deform_attn_pallas_hat_bwd
+        v, loc, w, shapes = make_inputs(rng, Lq=37)
+        go = jnp.asarray(
+            np.random.default_rng(2).standard_normal(
+                (v.shape[0], 37, v.shape[2] * v.shape[3])), jnp.float32)
+
+        _, vjp = jax.vjp(
+            lambda v_, l_, a_: ms_deform_attn_flat(v_, shapes, l_, a_),
+            v, loc, w)
+        ref = vjp(go)
+        for deriv in ("vpu", "mxu"):
+            got = ms_deform_attn_pallas_hat_bwd(
+                v, shapes, loc, w, go, interpret=True, deriv=deriv)
+            for g, r, name in zip(got, ref, ("value", "loc", "attw")):
+                np.testing.assert_allclose(
+                    np.asarray(g), np.asarray(r), atol=1e-4, rtol=1e-4,
+                    err_msg=f"{deriv} grad_{name}")
+
+    def test_mxu_vmem_fallback(self, rng, monkeypatch):
+        """'auto' must fall back to the VPU variant when the indicator
+        matrices exceed the VMEM budget (large multi-level geometry)."""
+        from dfvod_tpu.ops import msda_pallas
+        calls = {}
+        orig = msda_pallas._msda_hat_bwd_kernel_factory
+
+        def spy(nQ):
+            calls["vpu"] = True
+            return orig(nQ)
+
+        monkeypatch.setattr(
+            msda_pallas, "_msda_hat_bwd_kernel_factory", spy)
+        # (H, W) = (120, 160): S*(Wx+Ty)*4 = 19200*282*4 > 4 MiB
+        shapes = ((120, 160),)
+        S = 120 * 160
+        v = jnp.asarray(rng.standard_normal((1, S, 1, 8)), jnp.float32)
+        loc = jnp.asarray(rng.uniform(0, 1, (1, 4, 1, 1, 2, 2)),
+                          jnp.float32)
+        w = jnp.full((1, 4, 1, 1, 2), 0.5, jnp.float32)
+        go = jnp.ones((1, 4, 8), jnp.float32)
+        msda_pallas.ms_deform_attn_pallas_hat_bwd(
+            v, shapes, loc, w, go, interpret=True, deriv="auto")
+        assert calls.get("vpu"), "expected fallback to the VPU variant"
+
 
 class TestOnehotKernel:
     def test_interpret_parity(self, rng):
