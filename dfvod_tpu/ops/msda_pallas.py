@@ -933,14 +933,7 @@ def ms_deform_attn_pallas_hat_bwd(value, spatial_shapes,
         B * M, Lq, D)
     sx_np, sy_np = _hat_coords(spatial_shapes)
 
-    # per-column (= per sample point) level geometry, f32 compile consts
-    xs_np = np.repeat(np.asarray([w for h, w in spatial_shapes],
-                                 np.float32), P)
-    ys_np = np.repeat(np.asarray([h for h, w in spatial_shapes],
-                                 np.float32), P)
-    yo_np = np.repeat(np.cumsum(
-        [0.0] + [h + 2.0 for h, w in spatial_shapes[:-1]]).astype(
-            np.float32), P)
+    xs_np, ys_np, yo_np = _msda_level_geometry(spatial_shapes, P)
 
     BM = B * M
     Lq_pad = -(-Lq // block_q) * block_q
@@ -1018,6 +1011,49 @@ def ms_deform_attn_pallas_hat_bwd(value, spatial_shapes,
     return grad_value, grad_loc, grad_attw
 
 
+def _msda_hat_fwd_kernel(sx_ref, sy_ref, xs_ref, ys_ref, yo_ref, lx_ref,
+                         ly_ref, aw_ref, value_ref, out_ref):
+    """``_hat_kernel`` specialized for the MSDA layout: normalized
+    locations arrive in their native dtype and the pixel-scale math
+    (``loc * W - 0.5`` + per-level y offsets) runs in f32 inside — no
+    f32 staging tensors around the custom call (bit-identical for bf16
+    callers; see ``_msda_hat_bwd_kernel_factory`` for the measurements).
+    """
+    sx = sx_ref[...]                               # (1, S)
+    sy = sy_ref[...]
+    xs = xs_ref[...]                               # (1, PL) f32: W_l
+    ys = ys_ref[...]                               # (1, PL) f32: H_l
+    yo = yo_ref[...]                               # (1, PL) f32: y offset
+    px = lx_ref[0].astype(jnp.float32) * xs - 0.5  # (TQ, PL)
+    py = ly_ref[0].astype(jnp.float32) * ys - 0.5 + yo
+    aw = aw_ref[0].astype(jnp.float32)
+    v = value_ref[0]
+    PL = px.shape[1]
+    hx = jnp.maximum(0.0, 1.0 - jnp.abs(px[:, 0:1] - sx))
+    hy = jnp.maximum(0.0, 1.0 - jnp.abs(py[:, 0:1] - sy))
+    W = (aw[:, 0:1] * hx) * hy
+    for p in range(1, PL):  # static unroll: PL = L*P
+        hx = jnp.maximum(0.0, 1.0 - jnp.abs(px[:, p:p + 1] - sx))
+        hy = jnp.maximum(0.0, 1.0 - jnp.abs(py[:, p:p + 1] - sy))
+        W = W + (aw[:, p:p + 1] * hx) * hy
+    out_ref[0] = jax.lax.dot_general(
+        W, v.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(out_ref.dtype)
+
+
+def _msda_level_geometry(spatial_shapes, P):
+    """Per-sample-point (= per PL column) level geometry rows: x scale
+    ``W_l``, y scale ``H_l``, and the level y offset (f32 numpy)."""
+    xs_np = np.repeat(np.asarray([w for h, w in spatial_shapes],
+                                 np.float32), P)
+    ys_np = np.repeat(np.asarray([h for h, w in spatial_shapes],
+                                 np.float32), P)
+    yo_np = np.repeat(np.cumsum(
+        [0.0] + [h + 2.0 for h, w in spatial_shapes[:-1]]).astype(
+            np.float32), P)
+    return xs_np, ys_np, yo_np
+
+
 def ms_deform_attn_pallas_hat(value, spatial_shapes, sampling_locations,
                               attention_weights, interpret: bool = False,
                               block_q: int = _TQ_OH,
@@ -1035,32 +1071,74 @@ def ms_deform_attn_pallas_hat(value, spatial_shapes, sampling_locations,
     B, S, M, D = value.shape
     _, Lq, _, L, P, _ = sampling_locations.shape
     PL = L * P
-
-    loc = sampling_locations.astype(jnp.float32)
-    aw = attention_weights.astype(jnp.float32)
-    pxs, pys = [], []
-    y_off = 0.0
-    for l, (H, W) in enumerate(spatial_shapes):
-        pxs.append(loc[:, :, :, l, :, 0] * W - 0.5)
-        pys.append(loc[:, :, :, l, :, 1] * H - 0.5 + y_off)
-        y_off += H + 2.0
-    px = jnp.concatenate(pxs, -1)                  # (B, Lq, M, PL)
-    py = jnp.concatenate(pys, -1)
-    aw = aw.reshape(B, Lq, M, PL)
-
-    px_bm = px.transpose(0, 2, 1, 3).reshape(B * M, Lq, PL)
-    py_bm = py.transpose(0, 2, 1, 3).reshape(B * M, Lq, PL)
-    aw_bm = aw.transpose(0, 2, 1, 3).reshape(B * M, Lq, PL)
-    v_bm = value.transpose(0, 2, 1, 3).reshape(B * M, S, D)
     sx_np, sy_np = _hat_coords(spatial_shapes)
+
     if sparse:
+        loc = sampling_locations.astype(jnp.float32)
+        aw = attention_weights.astype(jnp.float32)
+        pxs, pys = [], []
+        y_off = 0.0
+        for l, (H, W) in enumerate(spatial_shapes):
+            pxs.append(loc[:, :, :, l, :, 0] * W - 0.5)
+            pys.append(loc[:, :, :, l, :, 1] * H - 0.5 + y_off)
+            y_off += H + 2.0
+        px = jnp.concatenate(pxs, -1)              # (B, Lq, M, PL)
+        py = jnp.concatenate(pys, -1)
+        aw = aw.reshape(B, Lq, M, PL)
+        px_bm = px.transpose(0, 2, 1, 3).reshape(B * M, Lq, PL)
+        py_bm = py.transpose(0, 2, 1, 3).reshape(B * M, Lq, PL)
+        aw_bm = aw.transpose(0, 2, 1, 3).reshape(B * M, Lq, PL)
+        v_bm = value.transpose(0, 2, 1, 3).reshape(B * M, S, D)
         out = hat_sample_sparse(v_bm, sx_np, sy_np, px_bm, py_bm, aw_bm,
                                 interpret=interpret, block_q=block_q)
-    else:
-        out = hat_sample(v_bm, jnp.asarray(sx_np), jnp.asarray(sy_np),
-                         px_bm, py_bm, aw_bm, interpret=interpret,
-                         block_q=block_q)
-    out = out.reshape(B, M, Lq, D)
+        out = out.reshape(B, M, Lq, D)
+        return out.transpose(0, 2, 1, 3).reshape(B, Lq, M * D)
+
+    lx = sampling_locations[..., 0].reshape(B, Lq, M, PL)
+    ly = sampling_locations[..., 1].reshape(B, Lq, M, PL)
+    aw_f = attention_weights.reshape(B, Lq, M, PL)
+    lx_bm = lx.transpose(0, 2, 1, 3).reshape(B * M, Lq, PL)
+    ly_bm = ly.transpose(0, 2, 1, 3).reshape(B * M, Lq, PL)
+    aw_bm = aw_f.transpose(0, 2, 1, 3).reshape(B * M, Lq, PL)
+    v_bm = value.transpose(0, 2, 1, 3).reshape(B * M, S, D)
+    xs_np, ys_np, yo_np = _msda_level_geometry(spatial_shapes, P)
+
+    BM = B * M
+    Lq_pad = -(-Lq // block_q) * block_q
+    if Lq_pad != Lq:
+        pad = ((0, 0), (0, Lq_pad - Lq), (0, 0))
+        # pad samples far outside every hat's support so they contribute 0
+        lx_bm = jnp.pad(lx_bm, pad, constant_values=-1e6)
+        ly_bm = jnp.pad(ly_bm, pad, constant_values=-1e6)
+        aw_bm = jnp.pad(aw_bm, pad)
+    pt_spec = pl.BlockSpec((1, block_q, PL), lambda bm, q: (bm, q, 0),
+                           memory_space=pltpu.VMEM)
+    geom_spec = pl.BlockSpec((1, PL), lambda bm, q: (0, 0),
+                             memory_space=pltpu.VMEM)
+    tok_spec = pl.BlockSpec((1, S), lambda bm, q: (0, 0),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _msda_hat_fwd_kernel,
+        grid=(BM, Lq_pad // block_q),
+        in_specs=[
+            tok_spec, tok_spec, geom_spec, geom_spec, geom_spec,
+            pt_spec, pt_spec, pt_spec,
+            pl.BlockSpec((1, S, D), lambda bm, q: (bm, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, D), lambda bm, q: (bm, q, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BM, Lq_pad, D), value.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * BM * Lq_pad * S * D + 11 * BM * Lq_pad * PL * S,
+            bytes_accessed=BM * (S * D * value.dtype.itemsize
+                                 + Lq_pad * PL * 12),
+            transcendentals=0),
+    )(jnp.asarray(sx_np)[None], jnp.asarray(sy_np)[None],
+      jnp.asarray(xs_np)[None], jnp.asarray(ys_np)[None],
+      jnp.asarray(yo_np)[None], lx_bm, ly_bm, aw_bm, v_bm)
+    out = out[:, :Lq].reshape(B, M, Lq, D)
     return out.transpose(0, 2, 1, 3).reshape(B, Lq, M * D)
 
 
