@@ -54,6 +54,8 @@ class Conv3x3S2D(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        """x: (B, H, W, in_channels), or the host-packed s2d form
+        (B, H/2, W/2, 4*in_channels) (``data.device_pipeline.pack_s2d``)."""
         w = self.param("kernel", nn.initializers.xavier_uniform(),
                        (3, 3, self.in_channels, self.features),
                        jnp.float32)
@@ -61,6 +63,9 @@ class Conv3x3S2D(nn.Module):
                           (self.features,), jnp.float32)
         w = w.astype(x.dtype)
         B, H, W, C = x.shape
+        packed = C == 4 * self.in_channels
+        if packed:
+            C = self.in_channels
         w2 = jnp.zeros((2, 2, 4 * C, self.features), x.dtype)
         for m in (-1, 0):
             for dy in range(2):
@@ -74,9 +79,12 @@ class Conv3x3S2D(nn.Module):
                             continue
                         blk = (dy * 2 + dx) * C
                         w2 = w2.at[m + 1, n + 1, blk:blk + C].set(w[a, b])
-        x2 = x.reshape(B, H // 2, 2, W // 2, 2, C)
-        x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2,
-                                                    4 * C)
+        if packed:
+            x2 = x
+        else:
+            x2 = x.reshape(B, H // 2, 2, W // 2, 2, C)
+            x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(
+                B, H // 2, W // 2, 4 * C)
         y = jax.lax.conv_general_dilated(
             x2, w2, (1, 1), ((1, 0), (1, 0)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
@@ -98,20 +106,23 @@ class DFormerDownsamplePath(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        """x: (B, H, W, 1) depth. Returns (B, H/16, W/16, dims[-1])."""
+        """x: (B, H, W, 1) depth, or the host-packed s2d form
+        (B, H/2, W/2, 4). Returns (B, H/16, W/16, dims[-1])."""
         d0 = self.dims[0]
 
-        def stem_conv(inp, feats, name):
+        def stem_conv(inp, feats, in_ch, name):
             h, w = inp.shape[1], inp.shape[2]
+            if inp.shape[-1] == 4 * in_ch:  # host-packed s2d input
+                return Conv3x3S2D(feats, in_ch, name=name)(inp)
             if self.stem_s2d and h % 2 == 0 and w % 2 == 0:
-                return Conv3x3S2D(feats, inp.shape[-1], name=name)(inp)
+                return Conv3x3S2D(feats, in_ch, name=name)(inp)
             return _conv(feats, 2, name)(inp)
 
         # stem (stride 4)
-        x = stem_conv(x, d0 // 2, "stem_conv1")
+        x = stem_conv(x, d0 // 2, 1, "stem_conv1")
         x = _bn(d0 // 2, "stem_bn1")(x, use_running_average=not train)
         x = jax.nn.gelu(x, approximate=not self.gelu_exact)
-        x = stem_conv(x, d0, "stem_conv2")
+        x = stem_conv(x, d0, d0 // 2, "stem_conv2")
         x = _bn(d0, "stem_bn2")(x, use_running_average=not train)
         # downsample stages
         for i in range(len(self.dims) - 1):

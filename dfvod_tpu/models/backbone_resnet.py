@@ -221,10 +221,17 @@ class StemConvS2D(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        """x: (B, H, W, 3), or the host-packed s2d form
+        (B, H/2, W/2, 12) from ``data.device_pipeline.pack_s2d`` —
+        identical values, rearranged on host where it costs a uint8
+        memcpy instead of on-device relayout copies."""
         w = self.param("kernel", nn.initializers.he_normal(),
                        (7, 7, 3, self.features), jnp.float32)
         w = w.astype(x.dtype)
         B, H, W, C = x.shape
+        packed = C == 12
+        if packed:
+            C = 3
         w2 = jnp.zeros((4, 4, 4 * C, self.features), x.dtype)
         for m in range(4):
             for dy in range(2):
@@ -238,9 +245,12 @@ class StemConvS2D(nn.Module):
                             continue
                         blk = (dy * 2 + dx) * C
                         w2 = w2.at[m, n, blk:blk + C].set(w[a, b])
-        x2 = x.reshape(B, H // 2, 2, W // 2, 2, C)
-        x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2,
-                                                    4 * C)
+        if packed:
+            x2 = x
+        else:
+            x2 = x.reshape(B, H // 2, 2, W // 2, 2, C)
+            x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(
+                B, H // 2, W // 2, 4 * C)
         return jax.lax.conv_general_dilated(
             x2, w2, (1, 1), ((2, 1), (2, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
@@ -267,7 +277,9 @@ class ResNet50(nn.Module):
     def __call__(self, x, *, train: bool = False):
         outs = {}
         H, W = x.shape[1], x.shape[2]
-        if self.stem_s2d and H % 2 == 0 and W % 2 == 0:
+        if x.shape[-1] == 12:  # host-packed s2d input (pack_s2d)
+            x = StemConvS2D(name="conv1")(x)
+        elif self.stem_s2d and H % 2 == 0 and W % 2 == 0:
             x = StemConvS2D(name="conv1")(x)
         else:
             x = conv(64, 7, 2, name="conv1")(x)

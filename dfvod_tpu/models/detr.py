@@ -125,18 +125,31 @@ class DeformableDETR(nn.Module):
             name="transformer")
 
     def __call__(self, images, mask, *, train: bool = False):
-        """images: (B,H,W,3|4); mask: (B,H,W) bool True=pad."""
+        """images: (B,H,W,3|4), or the host-packed s2d form
+        (B,H/2,W/2,12|16) from ``data.device_pipeline.pack_s2d``;
+        mask: (B,H,W) bool True=pad (always full resolution)."""
         with _matmul_precision(self.cfg.compute_dtype):
             return self._forward(images, mask, train=train)
 
     def _forward(self, images, mask, *, train: bool = False):
         cfg = self.cfg
         deterministic = not train
+        packed = images.shape[-1] in (12, 16)
+        if packed:
+            assert cfg.fusion_type != "Backbone_CrossFusion" and \
+                cfg.depth_backbone_type != "resnet18", \
+                "s2d-packed input needs the s2d stems (ResNet50/DFormer)"
         if cfg.use_depth:
-            assert images.shape[-1] == 4, "RGB-D input must have 4 channels"
-            rgb, depth = images[..., :3], images[..., 3:4]
+            if packed:
+                assert images.shape[-1] == 16, \
+                    "packed RGB-D input must have 16 channels"
+                rgb, depth = images[..., :12], images[..., 12:16]
+            else:
+                assert images.shape[-1] == 4, \
+                    "RGB-D input must have 4 channels"
+                rgb, depth = images[..., :3], images[..., 3:4]
         else:
-            rgb, depth = images[..., :3], None
+            rgb, depth = images[..., :12 if packed else 3], None
 
         depth_feats = depth_masks = None
         stage_outs = None
