@@ -15,7 +15,7 @@ def get_args_parser(video: bool = False) -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("dfvod_tpu", add_help=False)
     # optimizer / schedule (``main.py:33-60``)
     p.add_argument("--lr", default=1e-4, type=float)
-    p.add_argument("--lr_backbone", default=1e-5, type=float)
+    p.add_argument("--lr_backbone", default=2e-5, type=float)
     p.add_argument("--lr_linear_proj_mult", default=0.1, type=float)
     p.add_argument("--batch_size", default=4, type=int)
     p.add_argument("--weight_decay", default=2e-5, type=float)
@@ -27,8 +27,7 @@ def get_args_parser(video: bool = False) -> argparse.ArgumentParser:
                         "launcher-side analog of --nproc_per_node")
     # model (``main.py:62-118``)
     p.add_argument("--backbone", default="resnet50", type=str)
-    p.add_argument("--dilation", action="store_true", default=True)
-    p.add_argument("--no_dilation", dest="dilation", action="store_false")
+    p.add_argument("--dilation", action="store_true")
     p.add_argument("--position_embedding", default="sine", type=str)
     p.add_argument("--enc_layers", default=6, type=int)
     p.add_argument("--dec_layers", default=6, type=int)
@@ -37,7 +36,7 @@ def get_args_parser(video: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--dropout", default=0.1, type=float)
     p.add_argument("--nheads", default=8, type=int)
     p.add_argument("--num_queries", default=300, type=int)
-    p.add_argument("--num_feature_levels", default=1, type=int)
+    p.add_argument("--num_feature_levels", default=4, type=int)
     p.add_argument("--dec_n_points", default=4, type=int)
     p.add_argument("--enc_n_points", default=4, type=int)
     p.add_argument("--dpth_n_points", default=4, type=int)
@@ -45,7 +44,7 @@ def get_args_parser(video: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--masks", action="store_true",
                    help="train segmentation head (``main.py:110``)")
     p.add_argument("--frozen_weights", default="", type=str)
-    p.add_argument("--with_box_refine", action="store_true", default=True)
+    p.add_argument("--with_box_refine", action="store_true")
     p.add_argument("--num_classes", default=3, type=int)
     # losses (``main.py:120-140``)
     p.add_argument("--no_aux_loss", dest="aux_loss", action="store_false")
@@ -80,6 +79,10 @@ def get_args_parser(video: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--max_boxes", default=64, type=int)
     p.add_argument("--device_preprocess", action="store_true",
                    help="ship uint8 frames; normalize on device")
+    p.add_argument("--pack_s2d", action="store_true",
+                   help="pack 2x2 space-to-depth on host (uint8) so the "
+                        "stems skip the on-device relayout; implies "
+                        "--device_preprocess semantics on the batch")
     p.add_argument("--train_dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="bfloat16: mixed-precision training (f32 master "

@@ -56,6 +56,10 @@ def train_loop(cfg, *, video: bool = False, resume: str = "",
                temporal_weights: str = "", spatial_weights: str = "",
                wandb_enabled: bool = False):
     np.random.seed(cfg.train.seed)
+    if cfg.model.frozen_weights:
+        # ``main.py:223``: seg-only training mode
+        assert cfg.model.masks, \
+            "Frozen training is meant for segmentation only"
     maybe_init_distributed()
     setup_for_distributed(jax.process_index() == 0)
     devices = (jax.devices()[:cfg.train.num_devices]
@@ -76,6 +80,7 @@ def train_loop(cfg, *, video: bool = False, resume: str = "",
     common = dict(max_boxes=cfg.data.max_boxes, use_depth=cfg.data.use_depth,
                   seed=cfg.train.seed, mesh=mesh,
                   device_preprocess=cfg.data.device_preprocess,
+                  pack_s2d=cfg.data.pack_s2d,
                   num_workers=cfg.data.num_workers,
                   rank=jax.process_index(), world=jax.process_count())
     train_loader = Loader(train_ds, make_transform(True, cfg),
@@ -93,6 +98,8 @@ def train_loop(cfg, *, video: bool = False, resume: str = "",
             batch["mask"] = sample["mask"]
         else:  # device-preprocess path: uint8 + sizes
             batch["sizes"] = sample["size"]
+        if "masks" in sample:  # --masks seg training targets
+            batch["masks"] = sample["masks"]
         return batch
 
     batch = to_batch(train_loader.first_batch())
@@ -132,6 +139,25 @@ def train_loop(cfg, *, video: bool = False, resume: str = "",
         model_state, _ = ckpt.merge_matching(state.model_state,
                                              restored.get("model_state", {}))
         state = state.replace(params=params, model_state=model_state)
+    if cfg.model.frozen_weights:
+        # load the detector checkpoint under the mask branch
+        # (``main.py:452-453``: model.detr.load_state_dict(ckpt['model']));
+        # the optimizer labels every non-mask_branch param "frozen"
+        # (``train/optim.py``), matching DETRsegm's freeze_detr
+        if cfg.model.frozen_weights.endswith((".pth", ".pth.tar")):
+            from dfvod_tpu.utils.convert_reference import (
+                load_reference_checkpoint,
+            )
+            variables, _ = load_reference_checkpoint(
+                cfg.model.frozen_weights, state.variables,
+                with_box_refine=cfg.model.with_box_refine)
+            weights = variables["params"]
+        else:
+            weights = ckpt.load_checkpoint(
+                cfg.model.frozen_weights)[0]["params"]
+        weights = ckpt.drop_keys(weights, "mask_branch")
+        params, _ = ckpt.merge_matching(state.params, weights)
+        state = state.replace(params=params)
     if temporal_weights or spatial_weights:
         t = (ckpt.load_checkpoint(temporal_weights)[0]["params"]
              if temporal_weights else None)

@@ -55,8 +55,12 @@ def pack_s2d(images_u8: np.ndarray) -> np.ndarray:
     """
     B, H, W, C = images_u8.shape
     assert H % 2 == 0 and W % 2 == 0, "s2d packing needs even H, W"
+    # only 3 (RGB) and 4 (RGB-D) channel inputs produce the 12/16-channel
+    # packed forms the rest of the stack can dispatch on; a C=1 depth-only
+    # pack would alias the unpacked RGB-D path in maybe_device_normalize
+    assert C in (3, 4), f"pack_s2d expects RGB or RGB-D input, got C={C}"
     out = np.empty((B, H // 2, W // 2, 4 * C), images_u8.dtype)
-    rgb_c = 3 if C >= 3 else C
+    rgb_c = 3
     for k, (dy, dx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
         part = images_u8[:, dy::2, dx::2, :]
         out[..., k * rgb_c:(k + 1) * rgb_c] = part[..., :rgb_c]

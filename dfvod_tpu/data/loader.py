@@ -56,7 +56,8 @@ class Loader:
                  mesh=None, clip_parallel: bool = False,
                  drop_last: bool = False, prefetch: int = 2,
                  bucket_step: int = 128, pad_cap: int = 1344,
-                 device_preprocess: bool = False, num_workers: int = 0):
+                 device_preprocess: bool = False, pack_s2d: bool = False,
+                 num_workers: int = 0):
         self.dataset = dataset
         self.transform = transform
         self.batch_size = batch_size
@@ -74,6 +75,13 @@ class Loader:
         # ship uint8 + sizes; normalization/mask happen inside the jitted
         # step (``data/device_pipeline.py``) — 4x less H2D traffic
         self.device_preprocess = device_preprocess
+        # host-side 2x2 space-to-depth packing of the uint8 batch
+        # (``device_pipeline.pack_s2d``): same bytes, strided on host,
+        # saves ~2.6 ms of on-device relayout per B=8 step (PERF.md)
+        if pack_s2d and not device_preprocess:
+            raise ValueError("pack_s2d requires device_preprocess=True "
+                             "(packing operates on the uint8 batch)")
+        self.pack_s2d = pack_s2d
         # ``--num_workers`` parity (reference ``main.py:156``, DataLoader
         # worker processes): >0 fans batch fetch+decode+augment out to a
         # thread pool (PIL/cv2 release the GIL during decode). Batches
@@ -104,6 +112,9 @@ class Loader:
         cols = [prep(f, (ph, pw), self.use_depth, self.max_boxes)
                 for f in frames]
         batch = {k: np.stack([c[k] for c in cols]) for k in cols[0]}
+        if self.pack_s2d:
+            from dfvod_tpu.data.device_pipeline import pack_s2d
+            batch["image"] = pack_s2d(batch["image"])
         return batch
 
     def _device_put(self, batch: dict) -> dict:

@@ -268,7 +268,12 @@ class TemporalDeformableDETR(nn.Module):
             self.temp_head = DetectionHead(d, cfg.num_classes,
                                            name="temp_head")
         else:  # transvod_pp
-            self.qrf_head = RCNNHead(d, name="qrf_dynamic_layer1")
+            # the reference builds the QRF head with the TRANSFORMER's ffn
+            # width / heads / dropout, not SparseRCNN's 2048 defaults
+            # (``deformable_transformer_multi_plusplus.py:155``: RCNNHead(
+            # cfg, d_model, num_classes, dim_feedforward, nhead, dropout))
+            self.qrf_head = RCNNHead(d, cfg.dim_feedforward, cfg.nheads,
+                                     cfg.dropout, name="qrf_dynamic_layer1")
             self.temporal_decoders = [
                 TemporalDecoder(d, cfg.dim_feedforward, cfg.dropout,
                                 cfg.n_temporal_decoder_layers, cfg.nheads,
@@ -337,7 +342,7 @@ class TemporalDeformableDETR(nn.Module):
         return self._transvod_pp(
             out_sf, trunk, cur_memory, ref_memory, cur_hs, ref_hs,
             ref_prob, cur_ref, ref_refs, spatial_shapes, cur_valid_ratios,
-            images, B, deterministic)
+            mask, B, deterministic)
 
     # ------------------------------------------------------------------
     def _transvod(self, out_sf, cur_memory, cur_pos, ref_memory, cur_hs,
@@ -386,14 +391,17 @@ class TemporalDeformableDETR(nn.Module):
     # ------------------------------------------------------------------
     def _transvod_pp(self, out_sf, trunk, cur_memory, ref_memory, cur_hs,
                      ref_hs, ref_prob, cur_ref, ref_refs, spatial_shapes,
-                     valid_ratios, images, B, deterministic):
+                     valid_ratios, mask, B, deterministic):
         """``deformable_transformer_multi_plusplus.py:395-604``."""
         cfg = self.cfg
         N = cfg.num_ref_frames
         F = 1 + N
         Q = cur_hs.shape[1]
         d = cfg.hidden_dim
-        img_h, img_w = images.shape[1], images.shape[2]
+        # full-resolution size comes from the padding mask, never from the
+        # image tensor: a packed-s2d input is (H/2, W/2) and would halve
+        # whwh, silently shrinking every RoI (advisor finding r1)
+        img_h, img_w = mask.shape[1], mask.shape[2]
         whwh = jnp.array([img_w, img_h, img_w, img_h], jnp.float32)
 
         # ---- QRF: boxes from bbox_embed[-1](hs) + inv_sig(last_reference)

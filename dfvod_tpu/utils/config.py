@@ -158,6 +158,9 @@ class DataConfig:
     # ship uint8 frames; normalize/mask on device inside the jitted step
     # (``data/device_pipeline.py``) — 4x less H2D traffic
     device_preprocess: bool = False
+    # host-side 2x2 space-to-depth packing of the uint8 batch
+    # (``data/device_pipeline.pack_s2d``); needs device_preprocess
+    pack_s2d: bool = False
     # whole-dataset in-RAM byte cache, sharded across loader workers
     # (``main.py:158`` --cache_mode + NodeDistributedSampler pairing)
     cache_mode: bool = False

@@ -25,44 +25,7 @@ from dfvod_tpu.data.transforms import (
 )
 
 
-@pytest.fixture
-def coco_dir(tmp_path):
-    """Synthesized RGB-D COCO tree: images/ + depth_pred/ + json with two
-    videos of 4 frames each (contiguous ids, like the reference data)."""
-    img_dir = tmp_path / "images"
-    depth_dir = tmp_path / "depth_pred"
-    img_dir.mkdir()
-    depth_dir.mkdir()
-    rng = np.random.default_rng(0)
-    images, annotations, videos = [], [], []
-    ann_id = 1
-    img_id = 1
-    for vid in (1, 2):
-        videos.append({"id": vid, "name": f"v{vid}"})
-        for frame in range(4):
-            name = f"v{vid}_f{frame}.jpg"
-            h, w = 48, 64
-            Image.fromarray(rng.integers(0, 255, (h, w, 3), np.uint8)
-                            ).save(img_dir / name)
-            Image.fromarray(rng.integers(0, 255, (h, w), np.uint8)
-                            ).save(depth_dir / name.replace("jpg", "png"))
-            # depth files keep the same name in our substitution scheme:
-            Image.fromarray(rng.integers(0, 255, (h, w), np.uint8)
-                            ).save(depth_dir / name)
-            images.append({"id": img_id, "file_name": f"images/{name}",
-                           "width": w, "height": h, "video_id": vid,
-                           "frame_id": frame})
-            annotations.append({"id": ann_id, "image_id": img_id,
-                                "category_id": 1, "bbox": [8, 8, 16, 12],
-                                "area": 16 * 12, "iscrowd": 0,
-                                "instance_id": vid})
-            ann_id += 1
-            img_id += 1
-    ds = {"images": images, "annotations": annotations, "videos": videos,
-          "categories": [{"id": 1, "name": "Hand"}]}
-    ann = tmp_path / "train.json"
-    ann.write_text(json.dumps(ds))
-    return tmp_path, str(ann)
+# (the shared ``coco_dir`` fixture lives in conftest.py)
 
 
 class TestCoco:
