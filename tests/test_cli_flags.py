@@ -10,11 +10,17 @@ def parse(argv, video=False):
 
 class TestFlags:
     def test_defaults_match_reference(self):
+        """A bare ``dfvod_tpu.cli.main`` builds the same model config as a
+        bare reference ``main.py`` (``main.py:41,64,76,82`` defaults).
+        Production configs pass every deviating flag explicitly."""
         _, cfg = parse([])
         assert cfg.model.hidden_dim == 256
         assert cfg.model.num_queries == 300
-        assert cfg.model.num_feature_levels == 1
+        assert cfg.model.num_feature_levels == 4      # main.py:82
+        assert cfg.model.dilation is False            # main.py:76
+        assert cfg.model.with_box_refine is False     # main.py:64
         assert cfg.train.lr == 1e-4
+        assert cfg.train.lr_backbone == 2e-5          # main.py:41
         assert cfg.train.weight_decay == 2e-5
         assert cfg.model.temporal_mode == "none"
 
