@@ -143,6 +143,8 @@ def make_train_step(model, criterion, tx, mesh: Optional[Mesh] = None,
             targets = {"labels": key_frames(batch["labels"]),
                        "boxes": key_frames(batch["boxes"]),
                        "valid": key_frames(batch["valid"])}
+            if "masks" in batch:  # --masks seg training targets
+                targets["masks"] = key_frames(batch["masks"])
             if bf16_train:  # criterion (matcher/focal/giou) stays f32
                 out = jax.tree_util.tree_map(
                     lambda x: x.astype(jnp.float32)

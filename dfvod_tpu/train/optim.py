@@ -50,7 +50,8 @@ def _contains(path: Tuple[str, ...], *subs: str) -> bool:
 
 def param_group_label(path: Tuple[str, ...], fusion_type: str,
                       fixed_pretrained_model: bool = False,
-                      temporal: bool = False) -> str:
+                      temporal: bool = False,
+                      freeze_detr: bool = False) -> str:
     """Label one parameter path. Labels: base | backbone | linear_proj |
     fusion10x | frozen.
 
@@ -61,7 +62,15 @@ def param_group_label(path: Tuple[str, ...], fusion_type: str,
     apply only to single-frame training (``main.py:311-421``). The
     ``fixed_pretrained_model`` freeze-all-but-temporal mode
     (``main_multi.py:380-386``) still applies.
+
+    ``freeze_detr=True`` (``--frozen_weights`` seg-only training): every
+    parameter outside the mask branch is frozen, matching
+    ``DETRsegm(..., freeze_detr=True)`` (``deformable_detr_single.py:681``,
+    ``segmentation.py:31-36``); mask-branch params keep the normal group
+    rules, like the reference's requires_grad-filtered param groups.
     """
+    if freeze_detr and not _contains(path, "mask_branch"):
+        return "frozen"
     if fixed_pretrained_model and not _contains(path, *TEMPORAL_NAMES):
         return "frozen"
     is_proj = _contains(path, *LINEAR_PROJ_NAMES)
@@ -99,7 +108,7 @@ def param_group_label(path: Tuple[str, ...], fusion_type: str,
 
 def label_params(params, fusion_type: str,
                  fixed_pretrained_model: bool = False,
-                 temporal: bool = False):
+                 temporal: bool = False, freeze_detr: bool = False):
     """Map a param pytree to a same-shaped tree of group labels."""
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     labels = {}
@@ -107,7 +116,8 @@ def label_params(params, fusion_type: str,
         path = tuple(getattr(k, "key", getattr(k, "name", str(k)))
                      for k in kp)
         labels[path] = param_group_label(path, fusion_type,
-                                         fixed_pretrained_model, temporal)
+                                         fixed_pretrained_model, temporal,
+                                         freeze_detr)
     treedef = jax.tree_util.tree_structure(params)
     return jax.tree_util.tree_unflatten(
         treedef, [labels[tuple(getattr(k, "key", getattr(k, "name", str(k)))
@@ -155,7 +165,8 @@ def build_optimizer(params, model_cfg, train_cfg,
 
     labels = label_params(params, model_cfg.fusion_type,
                           model_cfg.fixed_pretrained_model,
-                          temporal=model_cfg.temporal_mode != "none")
+                          temporal=model_cfg.temporal_mode != "none",
+                          freeze_detr=bool(model_cfg.frozen_weights))
     tx = optax.chain(
         optax.clip_by_global_norm(train_cfg.clip_max_norm),
         optax.multi_transform({k: group(v) for k, v in mults.items()},

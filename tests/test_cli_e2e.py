@@ -46,7 +46,9 @@ def coco_tree(tmp_path_factory):
                        "video_id": 1, "frame_id": i - 1})
         annotations.append({"id": i, "image_id": i, "category_id": 1,
                             "bbox": [x, y, 16, 16], "area": 256,
-                            "iscrowd": 0, "instance_id": 1})
+                            "iscrowd": 0, "instance_id": 1,
+                            "segmentation": [[x, y, x + 16, y,
+                                              x + 16, y + 16, x, y + 16]]})
     ds = {"images": images, "annotations": annotations,
           "videos": [{"id": 1, "name": "v"}],
           "categories": [{"id": 1, "name": "Hand"}]}
@@ -106,6 +108,66 @@ class TestTrainLoop:
         # resume into eval-only; must not crash and must load weights
         stats = train_loop(cfg, resume=str(out), eval_only=True)
         assert "mAP" in stats
+
+    def test_frozen_weights_seg_only(self, coco_tree, tmp_path):
+        """``--frozen_weights`` seg-only training (``main.py:223,452-453``
+        + ``DETRsegm(freeze_detr=True)``): the detector checkpoint loads
+        under the mask branch, every detector parameter stays frozen for
+        the whole epoch, and the mask branch trains."""
+        import jax
+        from dfvod_tpu.cli.main import train_loop
+        from dfvod_tpu.utils.checkpoint import load_checkpoint
+
+        det_out = tmp_path / "det"
+        train_loop(tiny_train_cfg(coco_tree, det_out))
+
+        seg_out = tmp_path / "seg"
+        cfg = tiny_train_cfg(coco_tree, seg_out, masks=True,
+                             frozen_weights=str(det_out))
+        stats = train_loop(cfg)
+        assert "mAP" in stats
+
+        det = load_checkpoint(str(det_out))[0]["params"]
+        seg = load_checkpoint(str(seg_out))[0]["params"]
+        assert "mask_branch" in seg
+        # detector weights in the seg checkpoint == the frozen source
+        flat_det = jax.tree_util.tree_flatten_with_path(det)[0]
+        flat_seg = dict(jax.tree_util.tree_flatten_with_path(seg)[0])
+        checked = 0
+        for kp, v in flat_det:
+            if any("mask_branch" in str(k) for k in kp):
+                continue
+            np.testing.assert_array_equal(np.asarray(flat_seg[kp]),
+                                          np.asarray(v), err_msg=str(kp))
+            checked += 1
+        assert checked > 10
+        # the mask branch moved away from its init
+        init_cfg = tiny_train_cfg(coco_tree, tmp_path / "init", masks=True)
+        from dfvod_tpu.models import build_model
+        from dfvod_tpu.train import create_train_state
+        model, _, _ = build_model(init_cfg)
+        import numpy as _np
+        batch = {"images": _np.zeros((2, 48, 64, 3), _np.float32),
+                 "mask": _np.zeros((2, 48, 64), bool),
+                 "labels": _np.ones((2, 4), _np.int32),
+                 "boxes": _np.tile(_np.array([.5, .5, .2, .2], _np.float32),
+                                   (2, 4, 1)),
+                 "valid": _np.ones((2, 4), bool)}
+        state0, _, _ = create_train_state(
+            jax.random.PRNGKey(cfg.train.seed), model, init_cfg, batch, 1)
+        moved = any(
+            not np.array_equal(np.asarray(a), np.asarray(b))
+            for a, b in zip(
+                jax.tree_util.tree_leaves(state0.params["mask_branch"]),
+                jax.tree_util.tree_leaves(seg["mask_branch"])))
+        assert moved, "mask branch did not train"
+
+    def test_frozen_weights_requires_masks(self, coco_tree, tmp_path):
+        from dfvod_tpu.cli.main import train_loop
+        cfg = tiny_train_cfg(coco_tree, tmp_path / "x",
+                             frozen_weights="whatever")
+        with pytest.raises(AssertionError, match="segmentation"):
+            train_loop(cfg)
 
 
 class TestInferenceCLI:
