@@ -320,7 +320,11 @@ def downsample_mask(mask, shape: Tuple[int, int]):
     Matches ``F.interpolate(mask[None].float(), size=...).bool()`` used
     throughout the reference backbones.
     """
-    B = mask.shape[0]
-    out = jax.image.resize(mask.astype(jnp.float32),
-                           (B, shape[0], shape[1]), method="nearest")
-    return out.astype(bool)
+    B, H, W = mask.shape
+    # torch nearest maps output index i -> floor(i * in/out); NOT the
+    # center-based rule jax.image.resize uses — the two pick different
+    # rows at stride boundaries, which shifts valid_ratio and broke
+    # full-model parity on padded images (test_full_model_parity)
+    ri = (jnp.arange(shape[0]) * H) // shape[0]
+    ci = (jnp.arange(shape[1]) * W) // shape[1]
+    return mask[:, ri][:, :, ci]

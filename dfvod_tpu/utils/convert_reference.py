@@ -133,11 +133,32 @@ def _map_ffn(base, norm_name: str):
     return rw
 
 
+# top-level module names of the temporal (video) wrapper; everything else
+# nests under its inner ``detr`` module (``models/temporal.py::setup``)
+_TEMPORAL_TOP = ("temporal_query_layer", "temporal_decoder",
+                 "temporal_encoder_layer", "temp_head", "qrf_dynamic_layer")
+
+
+def _nest_for_video(tree: dict) -> dict:
+    """Re-nest a converted single-frame tree for the TemporalDeformableDETR
+    layout: spatial modules live under ``detr``, temporal heads stay top."""
+    out: dict = {"detr": {}}
+    for k, v in tree.items():
+        if any(k.startswith(p) for p in _TEMPORAL_TOP):
+            out[k] = v
+        else:
+            out["detr"][k] = v
+    return out
+
+
 def convert_reference_state_dict(sd: Mapping[str, np.ndarray],
                                  with_box_refine: bool = True,
-                                 verbose: bool = True):
+                                 verbose: bool = True,
+                                 video: bool = False):
     """Translate a reference checkpoint into (params, model_state) trees
-    (nested dicts) for this framework. Unrecognized keys are reported."""
+    (nested dicts) for this framework. Unrecognized keys are reported.
+    ``video=True`` targets the TemporalDeformableDETR layout (spatial
+    modules nested under ``detr``)."""
     out = {"params": [], "constants": [], "batch_stats": []}
     unmapped = []
 
@@ -183,6 +204,10 @@ def convert_reference_state_dict(sd: Mapping[str, np.ndarray],
         model_state["constants"] = build(out["constants"])
     if out["batch_stats"]:
         model_state["batch_stats"] = build(out["batch_stats"])
+    if video:
+        params = _nest_for_video(params)
+        model_state = {k: _nest_for_video(v)
+                       for k, v in model_state.items()}
     return params, model_state, unmapped
 
 
@@ -316,6 +341,19 @@ def _convert_one(name: str, w, out, with_box_refine: bool) -> bool:
         _emit_linear(out, ("transformer", "reference_points"),
                      p[-1], w)
         return True
+    # two-stage proposal path (``deformable_transformer_single.py:85-90``)
+    if name.startswith("transformer.enc_output_norm."):
+        _emit_ln(out, ("transformer", "enc_output_norm"), p[-1], w)
+        return True
+    if name.startswith("transformer.enc_output."):
+        _emit_linear(out, ("transformer", "enc_output"), p[-1], w)
+        return True
+    if name.startswith("transformer.pos_trans_norm."):
+        _emit_ln(out, ("transformer", "pos_trans_norm"), p[-1], w)
+        return True
+    if name.startswith("transformer.pos_trans."):
+        _emit_linear(out, ("transformer", "pos_trans"), p[-1], w)
+        return True
 
     # --- encoder / decoder layers ---------------------------------------
     m = re.match(r"transformer\.encoder\.layers\.(\d+)\.(.+)", name)
@@ -385,11 +423,11 @@ def _convert_block(out, base, rest, w, ffn_norm: str) -> bool:
 
 def load_reference_checkpoint(path: str, variables: dict,
                               with_box_refine: bool = True,
-                              verbose: bool = True):
+                              verbose: bool = True, video: bool = False):
     """One-call bridge: torch .pth -> merged variables for this framework."""
     sd = load_torch_state_dict(path)
     params, model_state, _ = convert_reference_state_dict(
-        sd, with_box_refine, verbose)
+        sd, with_box_refine, verbose, video=video)
     merged_params, report = merge_matching(variables["params"], params,
                                            verbose=verbose)
     new_vars = dict(variables)
