@@ -1,0 +1,202 @@
+"""Generate the committed synthetic labeled RGB-D video detection set.
+
+The reference ships 27 OID frames with NO annotations
+(``sample_dataset/OID/{images,depth}``), so no real-data accuracy run is
+possible against it. This generator produces a small but non-trivial
+*labeled* RGB-D set in the exact directory layout the reference
+hard-codes (``datasets/vid_single.py:166-175``): ``coco/images``,
+``coco/depth_pred`` (the ``images -> depth_pred`` substitution path),
+``coco/annotations/{train,val}.json`` with CocoVID video/frame fields.
+
+Task design (deliberately depth-dependent):
+- targets: "hand" blobs — an ellipse palm + 4 finger lobes, random skin-
+  ish hue, 1-3 per image, moving smoothly across a 4-frame video clip;
+- distractors: rectangles/circles drawn with the SAME color statistics,
+  so RGB alone is ambiguous;
+- depth: hands sit CLOSER than the background plane (bright in the
+  depth map, with a radial falloff), distractors are painted flat AT
+  the background depth — depth is the reliable cue;
+- background: smooth low-frequency color noise + vignette, per-video.
+
+Deterministic for a given seed; ~300 frames at 320x256 (a few MB).
+
+Usage: python scripts/make_synth_rgbd.py [out_dir] [--seed 0]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+from PIL import Image
+
+H, W = 256, 320
+FRAMES_PER_VIDEO = 4
+
+
+def smooth_noise(rng, h, w, scale=8, lo=0.0, hi=1.0):
+    """Low-frequency noise: upsampled coarse grid."""
+    coarse = rng.random((h // scale + 2, w // scale + 2))
+    img = np.asarray(Image.fromarray(
+        (coarse * 255).astype(np.uint8)).resize((w, h), Image.BILINEAR),
+        np.float32) / 255.0
+    return lo + (hi - lo) * img
+
+
+def hand_mask(rng, size):
+    """A hand-ish blob in a (size x size) stamp: palm ellipse + 4 finger
+    lobes along a random orientation. Returns bool (size, size)."""
+    s = size
+    yy, xx = np.mgrid[0:s, 0:s].astype(np.float32)
+    cy = cx = s / 2.0
+    ang = rng.uniform(0, 2 * np.pi)
+    mask = (((yy - cy - s * 0.08) / (s * 0.28)) ** 2
+            + ((xx - cx) / (s * 0.22)) ** 2) <= 1.0
+    for i in range(4):
+        fa = ang + (i - 1.5) * 0.35
+        fy = cy - s * 0.18 + s * 0.32 * np.sin(fa - np.pi / 2)
+        fx = cx + s * 0.32 * np.cos(fa - np.pi / 2)
+        finger = (((yy - fy) / (s * 0.16)) ** 2
+                  + ((xx - fx) / (s * 0.07)) ** 2) <= 1.0
+        mask |= finger
+    return mask
+
+
+def paint(canvas, depth, stamp, top, left, color, depth_val):
+    """Paste a bool stamp with color into canvas + radial depth falloff."""
+    s = stamp.shape[0]
+    y0, x0 = max(top, 0), max(left, 0)
+    y1, x1 = min(top + s, H), min(left + s, W)
+    if y1 <= y0 or x1 <= x0:
+        return None
+    sub = stamp[y0 - top:y1 - top, x0 - left:x1 - left]
+    if not sub.any():
+        return None
+    region = canvas[y0:y1, x0:x1]
+    region[sub] = color
+    yy, xx = np.nonzero(sub)
+    r = np.hypot(yy - sub.shape[0] / 2, xx - sub.shape[1] / 2) / (s / 2)
+    depth[y0:y1, x0:x1][sub] = np.clip(
+        depth_val * (1.0 - 0.25 * r), 0, 1) * 255
+    ys, xs = np.nonzero(sub)
+    return (x0 + xs.min(), y0 + ys.min(),
+            xs.max() - xs.min() + 1, ys.max() - ys.min() + 1)
+
+
+def make_video(rng, vid, img_id0, ann_id0, img_dir, depth_dir):
+    """One 4-frame clip. Returns (images, annotations)."""
+    base_col = rng.random(3) * 0.4 + 0.1
+    n_hands = rng.integers(1, 4)
+    n_dis = rng.integers(0, 4)
+
+    def rand_obj(size_lo, size_hi):
+        size = int(rng.integers(size_lo, size_hi))
+        pos = np.array([rng.integers(-size // 4, H - size * 3 // 4),
+                        rng.integers(-size // 4, W - size * 3 // 4)],
+                       np.float32)
+        vel = rng.uniform(-6, 6, 2)
+        # skin-ish hue for everything: RGB alone is ambiguous
+        col = (np.array([0.75, 0.55, 0.45])
+               + rng.uniform(-0.2, 0.2, 3)).clip(0, 1)
+        return size, pos, vel, col
+
+    hands = [(hand_mask(rng, int(s)), s, p, v, c) for s, p, v, c in
+             [rand_obj(40, 90) for _ in range(n_hands)]]
+    dists = [rand_obj(30, 70) for _ in range(n_dis)]
+    dist_kind = [int(rng.integers(0, 2)) for _ in range(n_dis)]
+
+    images, annotations = [], []
+    img_id, ann_id = img_id0, ann_id0
+    for f in range(FRAMES_PER_VIDEO):
+        canvas = np.stack([smooth_noise(rng, H, W, 16, c * 0.6, c * 1.3)
+                           for c in base_col], -1).clip(0, 1)
+        depth = (smooth_noise(rng, H, W, 32, 0.15, 0.35) * 255)
+        # distractors first (UNDER hands), flat at background depth
+        for (size, pos, vel, col), kind in zip(dists, dist_kind):
+            t, le = int(pos[0] + f * vel[0]), int(pos[1] + f * vel[1])
+            yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+            if kind == 0:
+                stamp = np.ones((size, size), bool)
+            else:
+                stamp = ((yy - size / 2) ** 2
+                         + (xx - size / 2) ** 2) <= (size / 2) ** 2
+            y0, x0 = max(t, 0), max(le, 0)
+            y1, x1 = min(t + size, H), min(le + size, W)
+            if y1 <= y0 or x1 <= x0:
+                continue
+            sub = stamp[y0 - t:y1 - t, x0 - le:x1 - le]
+            canvas[y0:y1, x0:x1][sub] = col
+            # depth untouched: distractor sits AT the background plane
+
+        frame_anns = []
+        for stamp, size, pos, vel, col in hands:
+            t, le = int(pos[0] + f * vel[0]), int(pos[1] + f * vel[1])
+            near = 0.6 + 0.35 * (size - 40) / 50.0
+            box = paint(canvas, depth, stamp, t, le, col, near)
+            if box is not None and box[2] >= 6 and box[3] >= 6:
+                frame_anns.append(box)
+
+        noise = rng.normal(0, 0.02, canvas.shape)
+        rgb = ((canvas + noise).clip(0, 1) * 255).astype(np.uint8)
+        name = f"v{vid:03d}_f{f}.jpg"
+        Image.fromarray(rgb).save(img_dir / name, quality=88)
+        # the loader substitutes images->depth_pred keeping the name
+        # (``torchvision_datasets/coco.py:75-105`` semantics)
+        Image.fromarray(depth.astype(np.uint8)).save(depth_dir / name,
+                                                     quality=92)
+
+        images.append({"id": img_id, "file_name": f"images/{name}",
+                       "width": W, "height": H, "video_id": vid,
+                       "frame_id": f})
+        for (x, y, w, h) in frame_anns:
+            annotations.append({
+                "id": ann_id, "image_id": img_id, "category_id": 1,
+                "bbox": [int(x), int(y), int(w), int(h)],
+                "area": int(w) * int(h), "iscrowd": 0, "instance_id": 0,
+                "segmentation": [[int(x), int(y), int(x + w), int(y),
+                                  int(x + w), int(y + h),
+                                  int(x), int(y + h)]]})
+            ann_id += 1
+        img_id += 1
+    return images, annotations
+
+
+def main(out_root, seed=0, n_train_videos=60, n_val_videos=15):
+    from pathlib import Path
+    root = Path(out_root) / "coco"
+    img_dir = root / "images"
+    depth_dir = root / "depth_pred"
+    ann_dir = root / "annotations"
+    for d in (img_dir, depth_dir, ann_dir):
+        d.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    img_id, ann_id, vid = 1, 1, 1
+    for split, n_videos in (("train", n_train_videos),
+                            ("val", n_val_videos)):
+        images, annotations, videos = [], [], []
+        for _ in range(n_videos):
+            videos.append({"id": vid, "name": f"v{vid:03d}"})
+            imgs, anns = make_video(rng, vid, img_id, ann_id,
+                                    img_dir, depth_dir)
+            images += imgs
+            annotations += anns
+            img_id += len(imgs)
+            ann_id += len(anns)
+            vid += 1
+        ds = {"images": images, "annotations": annotations,
+              "videos": videos,
+              "categories": [{"id": 1, "name": "Hand"},
+                             {"id": 2, "name": "Unused"}]}
+        (ann_dir / f"{split}.json").write_text(json.dumps(ds))
+        print(f"{split}: {len(images)} images, {len(annotations)} boxes")
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("out", nargs="?", default="datasets/synth_rgbd")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--train_videos", type=int, default=60)
+    p.add_argument("--val_videos", type=int, default=15)
+    a = p.parse_args()
+    main(a.out, a.seed, a.train_videos, a.val_videos)
