@@ -108,10 +108,21 @@ class Loader:
         ws = [f.rgb.shape[1] for f in frames]
         ph, pw = bucket_shape(max(hs), max(ws), self.bucket_step,
                               self.pad_cap)
-        prep = pad_u8 if self.device_preprocess else normalize_and_pad
-        cols = [prep(f, (ph, pw), self.use_depth, self.max_boxes)
-                for f in frames]
-        batch = {k: np.stack([c[k] for c in cols]) for k in cols[0]}
+        if self.device_preprocess:
+            # write frames straight into the batch canvas (no per-frame
+            # allocation, no np.stack copy — single-core host)
+            C = 4 if self.use_depth else 3
+            canvas = np.zeros((len(frames), ph, pw, C), np.uint8)
+            cols = [pad_u8(f, (ph, pw), self.use_depth, self.max_boxes,
+                           out_img=canvas[i])
+                    for i, f in enumerate(frames)]
+            batch = {k: np.stack([c[k] for c in cols])
+                     for k in cols[0] if k != "image"}
+            batch["image"] = canvas
+        else:
+            cols = [normalize_and_pad(f, (ph, pw), self.use_depth,
+                                      self.max_boxes) for f in frames]
+            batch = {k: np.stack([c[k] for c in cols]) for k in cols[0]}
         if self.pack_s2d:
             from dfvod_tpu.data.device_pipeline import pack_s2d
             batch["image"] = pack_s2d(batch["image"])

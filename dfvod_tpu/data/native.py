@@ -46,6 +46,8 @@ def _lib() -> Optional[ctypes.CDLL]:
                                     f32p, u8p, ctypes.c_int, ctypes.c_int,
                                     ctypes.c_int, ctypes.c_int, f32p, f32p]
     lib.normalize_depth_u16.argtypes = [u16p, ctypes.c_int, u8p]
+    lib.pack_rgbd_u8.argtypes = [u8p, u8p, ctypes.c_int, ctypes.c_int,
+                                 u8p, ctypes.c_int64]
     return lib
 
 
@@ -96,6 +98,19 @@ def preprocess_rgbd(rgb: np.ndarray, depth: Optional[np.ndarray],
                         _ptr(mean, ctypes.c_float),
                         _ptr(std, ctypes.c_float))
     return out, mask.astype(bool)
+
+
+def pack_rgbd_u8(rgb: np.ndarray, depth: np.ndarray,
+                 out: np.ndarray) -> None:
+    """Interleave (h, w, 3) RGB + (h, w) depth into the top-left of a
+    C-contiguous (ph, pw, 4) uint8 canvas slice, in place."""
+    lib = _lib()
+    h, w = rgb.shape[:2]
+    assert out.flags.c_contiguous and out.shape[-1] == 4
+    lib.pack_rgbd_u8(_ptr(np.ascontiguousarray(rgb), ctypes.c_uint8),
+                     _ptr(np.ascontiguousarray(depth), ctypes.c_uint8),
+                     h, w, _ptr(out, ctypes.c_uint8),
+                     out.shape[1] * 4)
 
 
 def normalize_depth_u16(depth: np.ndarray) -> np.ndarray:

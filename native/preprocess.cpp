@@ -19,6 +19,7 @@
 #include <cstring>
 #include <algorithm>
 #include <cmath>
+#include <vector>
 
 namespace {
 
@@ -37,10 +38,24 @@ inline void bilinear_coeffs(int out_i, float scale, int src_size,
 extern "C" {
 
 // Bilinear resize, uint8 HWC -> uint8 HWC.
+//
+// Horizontal coefficients are precomputed per output column (they are
+// loop-invariant over rows) and rows run under OpenMP: the naive
+// per-pixel-per-channel version measured 13.5 ms for 320x256 -> 1000x800
+// on one core — this is the loader's hottest host op (64% of batch prep,
+// scripts/bench_loader.py), so it has to be near-memcpy.
 void resize_bilinear_u8(const uint8_t* src, int sh, int sw, int c,
                         uint8_t* dst, int dh, int dw) {
   const float sy = static_cast<float>(sh) / dh;
   const float sx = static_cast<float>(sw) / dw;
+  std::vector<int> xi0(dw), xi1(dw);
+  std::vector<float> xf(dw);
+  for (int x = 0; x < dw; ++x) {
+    bilinear_coeffs(x, sx, sw, &xi0[x], &xi1[x], &xf[x]);
+    xi0[x] *= c;
+    xi1[x] *= c;
+  }
+#pragma omp parallel for schedule(static)
   for (int y = 0; y < dh; ++y) {
     int y0, y1;
     float fy;
@@ -48,17 +63,35 @@ void resize_bilinear_u8(const uint8_t* src, int sh, int sw, int c,
     const uint8_t* r0 = src + static_cast<int64_t>(y0) * sw * c;
     const uint8_t* r1 = src + static_cast<int64_t>(y1) * sw * c;
     uint8_t* out_row = dst + static_cast<int64_t>(y) * dw * c;
+    const float gy = 1.0f - fy;
     for (int x = 0; x < dw; ++x) {
-      int x0, x1;
-      float fx;
-      bilinear_coeffs(x, sx, sw, &x0, &x1, &fx);
-      const float w00 = (1 - fy) * (1 - fx), w01 = (1 - fy) * fx;
+      const int a = xi0[x], b = xi1[x];
+      const float fx = xf[x];
+      const float w00 = gy * (1 - fx), w01 = gy * fx;
       const float w10 = fy * (1 - fx), w11 = fy * fx;
       for (int k = 0; k < c; ++k) {
-        float v = w00 * r0[x0 * c + k] + w01 * r0[x1 * c + k] +
-                  w10 * r1[x0 * c + k] + w11 * r1[x1 * c + k];
+        float v = w00 * r0[a + k] + w01 * r0[b + k] +
+                  w10 * r1[a + k] + w11 * r1[b + k];
         out_row[x * c + k] = static_cast<uint8_t>(v + 0.5f);
       }
+    }
+  }
+}
+
+// Interleave (h, w, 3) RGB + (h, w) depth into a (>=h, >=w, 4) uint8
+// canvas slice (row stride in bytes). numpy does this element-wise
+// (~4-9 ms/frame at 800x1000 on one core); here it is a linear pass.
+void pack_rgbd_u8(const uint8_t* rgb, const uint8_t* depth, int h, int w,
+                  uint8_t* out, int64_t out_row_stride) {
+  for (int y = 0; y < h; ++y) {
+    const uint8_t* r = rgb + static_cast<int64_t>(y) * w * 3;
+    const uint8_t* d = depth + static_cast<int64_t>(y) * w;
+    uint8_t* o = out + y * out_row_stride;
+    for (int x = 0; x < w; ++x) {
+      o[4 * x + 0] = r[3 * x + 0];
+      o[4 * x + 1] = r[3 * x + 1];
+      o[4 * x + 2] = r[3 * x + 2];
+      o[4 * x + 3] = d[x];
     }
   }
 }

@@ -146,7 +146,9 @@ def make_video(rng, vid, img_id0, ann_id0, img_dir, depth_dir):
         Image.fromarray(depth.astype(np.uint8)).save(depth_dir / name,
                                                      quality=92)
 
-        images.append({"id": img_id, "file_name": f"images/{name}",
+        # file_name is relative to the coco/images img_folder root the
+        # CLI passes (``data/dataset.py::build_dataset``)
+        images.append({"id": img_id, "file_name": name,
                        "width": W, "height": H, "video_id": vid,
                        "frame_id": f})
         for (x, y, w, h) in frame_anns:

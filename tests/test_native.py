@@ -88,3 +88,19 @@ class TestNative:
         np.testing.assert_allclose(nat["image"], py["image"], atol=1e-5)
         np.testing.assert_array_equal(nat["mask"], py["mask"])
         np.testing.assert_allclose(nat["boxes"], py["boxes"])
+
+
+def test_pack_rgbd_matches_numpy(rng):
+    from dfvod_tpu.data import native
+    if not native.available():
+        import pytest
+        pytest.skip("native lib unavailable")
+    h, w = 37, 53
+    rgb = rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+    depth = rng.integers(0, 255, (h, w)).astype(np.uint8)
+    out = np.zeros((48, 64, 4), np.uint8)
+    ref = out.copy()
+    native.pack_rgbd_u8(rgb, depth, out)
+    ref[:h, :w, :3] = rgb
+    ref[:h, :w, 3] = depth
+    np.testing.assert_array_equal(out, ref)
