@@ -28,4 +28,7 @@ python -u -m dfvod_tpu.cli.main \
     --dformer_backbone \
     --train_dtype bfloat16 \
     --device_preprocess \
+    --train_short_sides 224 256 288 320 \
+    --eval_short_side 256 \
+    --max_size 512 \
     "$@" | tee ${EXP_DIR}/train_output.txt

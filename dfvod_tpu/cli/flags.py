@@ -77,6 +77,14 @@ def get_args_parser(video: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--start_epoch", default=0, type=int)
     p.add_argument("--eval", action="store_true")
     p.add_argument("--max_boxes", default=64, type=int)
+    p.add_argument("--train_short_sides", default=None, type=int,
+                   nargs="+",
+                   help="multi-scale train resize short sides (reference "
+                        "hard-codes 480..800, ``vid_single.py:148``)")
+    p.add_argument("--eval_short_side", default=600, type=int,
+                   help="eval resize short side (``vid_single.py:155``)")
+    p.add_argument("--max_size", default=1333, type=int,
+                   help="resize long-side cap (``vid_single.py:148``)")
     p.add_argument("--device_preprocess", action="store_true",
                    help="ship uint8 frames; normalize on device")
     p.add_argument("--pack_s2d", action="store_true",

@@ -918,6 +918,14 @@ def ms_deform_attn_pallas_hat_bwd(value, spatial_shapes,
         Ty_est = sum(h + 2 for h, w in spatial_shapes) - 2
         if S_tot * (Wx_est + Ty_est) * 4 > 4 * 1024 * 1024:
             deriv = "vpu"
+        # scoped-VMEM ceiling: the mxu variant's double-buffered blocks
+        # (v, gv, xmat, ymat) + f32 scratch measure ~48 bytes per
+        # token-lane (19 MB at S=3072, D=32 — Mosaic stack OOM at the
+        # 16 MB scoped limit); drop the indicator matmuls first (the vpu
+        # variant measures ~45 B/token-lane; ``hat_bwd_supported`` gates
+        # the whole kernel out before either would OOM)
+        if S_tot * max(value.shape[3], 128) * 48 > 15 * 1024 * 1024:
+            deriv = "vpu"
     B, S, M, D = value.shape
     _, Lq, _, L, P, _ = sampling_locations.shape
     PL = L * P
@@ -1036,9 +1044,29 @@ def _msda_hat_fwd_kernel(sx_ref, sy_ref, xs_ref, ys_ref, yo_ref, lx_ref,
         hx = jnp.maximum(0.0, 1.0 - jnp.abs(px[:, p:p + 1] - sx))
         hy = jnp.maximum(0.0, 1.0 - jnp.abs(py[:, p:p + 1] - sy))
         W = W + (aw[:, p:p + 1] * hx) * hy
-    out_ref[0] = jax.lax.dot_general(
-        W, v.astype(jnp.float32), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(out_ref.dtype)
+    if v.dtype == jnp.float32:
+        # f32 path: the MXU on this toolchain runs bf16 passes whatever
+        # preferred_element_type says, so recover ~f32 precision with a
+        # split-precision accumulate — hi/lo bf16 halves of both W and v,
+        # 3 bf16 matmuls with f32 accumulation (the dropped Wlo@vlo term
+        # is O(2^-16) relative; VERDICT r1 #5, matching the reference's
+        # dtype-templated CUDA kernel ``ms_deform_im2col_cuda.cuh:923``)
+        W_hi = W.astype(jnp.bfloat16)
+        W_lo = (W - W_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        v_hi = v.astype(jnp.bfloat16)
+        v_lo = (v - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        dims = (((1,), (0,)), ((), ()))
+        acc = jax.lax.dot_general(W_hi, v_hi, dims,
+                                  preferred_element_type=jnp.float32)
+        acc += jax.lax.dot_general(W_hi, v_lo, dims,
+                                   preferred_element_type=jnp.float32)
+        acc += jax.lax.dot_general(W_lo, v_hi, dims,
+                                   preferred_element_type=jnp.float32)
+        out_ref[0] = acc.astype(out_ref.dtype)
+    else:
+        out_ref[0] = jax.lax.dot_general(
+            W, v.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(out_ref.dtype)
 
 
 def _msda_level_geometry(spatial_shapes, P):
@@ -1228,7 +1256,7 @@ def _hat_probe() -> bool:
 
         def body():
             got = np.asarray(ms_deform_attn_pallas_hat(
-                jnp.asarray(v), shapes, jnp.asarray(loc),
+                jnp.asarray(v, jnp.bfloat16), shapes, jnp.asarray(loc),
                 jnp.asarray(attw)))
             ref = np.asarray(ms_deform_attn_xla(
                 jnp.asarray(v), shapes, jnp.asarray(loc),
@@ -1246,18 +1274,58 @@ def _hat_probe() -> bool:
         return False
 
 
+@functools.lru_cache(maxsize=1)
+def _hat_f32_probe() -> bool:
+    """Compile + numerics probe for the f32 split-precision hat path —
+    must land within ~1e-4 relative of the exact-f32 XLA formulation."""
+    try:
+        import jax.extend.backend
+        if jax.extend.backend.get_backend().platform not in ("tpu",
+                                                             "axon"):
+            return False
+        import numpy as np
+        from dfvod_tpu.ops.msda import ms_deform_attn_xla
+        rng = np.random.default_rng(1)
+        shapes = ((8, 16),)
+        v = np.asarray(rng.standard_normal((1, 128, 2, 8)), np.float32)
+        loc = np.asarray(rng.uniform(0, 1, (1, 4, 2, 1, 2, 2)),
+                         np.float32)
+        attw = np.full((1, 4, 2, 1, 2), 0.25, np.float32)
+
+        def body():
+            got = np.asarray(ms_deform_attn_pallas_hat(
+                jnp.asarray(v), shapes, jnp.asarray(loc),
+                jnp.asarray(attw)))
+            ref = np.asarray(ms_deform_attn_xla(
+                jnp.asarray(v), shapes, jnp.asarray(loc),
+                jnp.asarray(attw)))
+            return got, ref
+
+        got, ref = _run_outside_trace(body)
+        ok = bool(np.allclose(got, ref, atol=1e-4, rtol=1e-3))
+        if not ok:
+            print("[msda_pallas] f32 hat probe out of tolerance; XLA path")
+        return ok
+    except Exception as e:
+        print(f"[msda_pallas] f32 hat probe failed ({type(e).__name__});"
+              " XLA path")
+        return False
+
+
 def hat_supported(value, spatial_shapes) -> bool:
-    """Production gate for the hat kernel — same constraints as the
-    one-hot kernel (bf16 values, W-tile + value-slab VMEM budget) plus
-    its own compile/numerics probe. The hat build is ~1.5x faster than
-    the one-hot build (2.18 vs 3.36 ms at the B=8 encoder shape)."""
-    if value.dtype != jnp.bfloat16:
+    """Production gate for the hat kernel — bf16 OR f32 values (f32 runs
+    the split-precision 3-matmul path inside the kernel), W-tile +
+    value-slab VMEM budget, plus the compile/numerics probe. The hat
+    build is ~1.5x faster than the one-hot build (2.18 vs 3.36 ms at the
+    B=8 encoder shape)."""
+    if value.dtype not in (jnp.bfloat16, jnp.float32):
         return False
     S, D = value.shape[1], value.shape[3]
-    vmem = S * max(D, 128) * 2 + _TQ_OH * S * 4
+    vmem = S * max(D, 128) * value.dtype.itemsize + _TQ_OH * S * 4
     if vmem > 8 * 1024 * 1024:
         return False
-    return _hat_probe()
+    return _hat_probe() and (value.dtype == jnp.bfloat16
+                             or _hat_f32_probe())
 
 
 @functools.lru_cache(maxsize=1)
@@ -1316,8 +1384,12 @@ def hat_bwd_supported(value) -> bool:
     if value.dtype != jnp.bfloat16:
         return False
     S, D = value.shape[1], value.shape[3]
-    vmem = S * max(D, 128) * (2 + 4) + 2 * _TQ_OH * S * 4
-    if vmem > 10 * 1024 * 1024:
+    # scoped-VMEM ceiling, empirically calibrated against Mosaic's 16 MB
+    # stack: the vpu (lane-reduction) variant measures 17.79 MB at
+    # S=3072, D=32 -> ~45 bytes per token-lane; the mxu variant 19.0 MB
+    # -> ~48 (both OOM there). Gate on the cheaper variant with margin;
+    # past it the exact XLA VJP takes over.
+    if S * max(D, 128) * 46 > 15 * 1024 * 1024:
         return False
     return _hat_bwd_probe()
 

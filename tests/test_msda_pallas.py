@@ -119,6 +119,27 @@ class TestHatKernel:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-5, rtol=1e-5)
 
+    def test_f32_split_precision_path(self, rng):
+        """f32 values route through the split-precision (hi/lo bf16,
+        3-matmul) path inside the kernel and must land within ~1e-4
+        relative of the exact-f32 XLA formulation (VERDICT r1 #5 — the
+        reference CUDA kernel serves all dtypes)."""
+        import jax.numpy as jnp
+        from dfvod_tpu.ops.msda_pallas import ms_deform_attn_pallas_hat
+        v, loc, w, shapes = make_inputs(rng)
+        assert v.dtype == jnp.float32
+        ref = ms_deform_attn_xla(v, shapes, loc, w)
+        out = ms_deform_attn_pallas_hat(v, shapes, loc, w, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-3)
+        # and clearly better than a plain bf16 rounding of the inputs
+        bf = ms_deform_attn_pallas_hat(v.astype(jnp.bfloat16), shapes,
+                                       loc, w, interpret=True)
+        err_split = float(np.abs(np.asarray(out) - np.asarray(ref)).max())
+        err_bf16 = float(np.abs(np.asarray(bf).astype(np.float32)
+                                - np.asarray(ref)).max())
+        assert err_split < err_bf16 / 4
+
     def test_query_padding(self, rng):
         from dfvod_tpu.ops.msda_pallas import ms_deform_attn_pallas_hat
         v, loc, w, shapes = make_inputs(rng, Lq=300)
@@ -184,17 +205,23 @@ class TestHatSparseKernel:
 
     def test_localized_samples_match_dense(self, rng):
         """The favorable case — tightly clustered sample points (most
-        chunks inactive) — still matches the dense kernel exactly."""
+        chunks inactive) — still matches the dense kernel exactly.
+        bf16 values: in f32 the dense kernel now takes the
+        split-precision path while the sparse variant keeps a single f32
+        dot, so only the bf16 routes are bit-comparable."""
+        import jax.numpy as jnp
         from dfvod_tpu.ops.msda_pallas import ms_deform_attn_pallas_hat
         v, loc, w, shapes = make_inputs(
             rng, B=1, M=2, D=16, P=4, shapes=((24, 32),), Lq=64)
+        v = v.astype(jnp.bfloat16)
         loc = 0.05 + 0.02 * loc  # all samples in a tiny top-left region
         dense = ms_deform_attn_pallas_hat(v, shapes, loc, w,
                                           interpret=True, sparse=False)
         sparse = ms_deform_attn_pallas_hat(v, shapes, loc, w,
                                            interpret=True, sparse=True)
-        np.testing.assert_allclose(np.asarray(sparse), np.asarray(dense),
-                                   atol=1e-6, rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(sparse).astype(np.float32),
+            np.asarray(dense).astype(np.float32), atol=1e-6, rtol=1e-6)
 
 
 class TestHatTiledKernel:
