@@ -182,26 +182,43 @@ def test_criterion_grad_flows(rng):
 
 
 def test_postprocess_matches_reference_semantics(rng):
+    """3-class outputs: channel 2 is the criterion's no-object indicator
+    (``segmentation.py:216-217``) and is EXCLUDED from the topk — the
+    reference's intended (first, dead-code) topk at
+    ``deformable_detr_single.py:587-588``; its surviving all-class topk
+    floods the top-100 with no-object hits on a converged model
+    (ACCURACY.md, PARITY.md known-deltas)."""
     B, Q, K = 2, 12, 3
     logits = rng.standard_normal((B, Q, K)).astype(np.float32)
     boxes = rng.random((B, Q, 4)).astype(np.float32) * 0.5 + 0.2
     sizes = np.array([[480, 640], [600, 800]], np.float32)
     res = postprocess(jnp.asarray(logits), jnp.asarray(boxes),
                       jnp.asarray(sizes), top_k=5)
-    prob = 1 / (1 + np.exp(-logits))
+    Ke = K - 1
+    prob = 1 / (1 + np.exp(-logits[..., :Ke]))
     for b in range(B):
         flat = prob[b].reshape(-1)
         order = np.argsort(-flat)[:5]
         np.testing.assert_allclose(np.asarray(res["scores"][b]),
                                    flat[order], rtol=1e-6)
         np.testing.assert_array_equal(np.asarray(res["labels"][b]),
-                                      order % K)
-        qi = order // K
+                                      order % Ke)
+        qi = order // Ke
         exp_boxes = np.asarray(box_cxcywh_to_xyxy(jnp.asarray(boxes[b][qi])))
         exp_boxes = exp_boxes * np.array([sizes[b][1], sizes[b][0],
                                           sizes[b][1], sizes[b][0]])
         np.testing.assert_allclose(np.asarray(res["boxes"][b]), exp_boxes,
                                    rtol=1e-5)
+
+    # 2-class and 4-class outputs keep the all-class topk
+    for K2 in (2, 4):
+        lg = rng.standard_normal((1, Q, K2)).astype(np.float32)
+        r = postprocess(jnp.asarray(lg), jnp.asarray(boxes[:1]),
+                        jnp.asarray(sizes[:1]), top_k=5)
+        flat = (1 / (1 + np.exp(-lg[0]))).reshape(-1)
+        order = np.argsort(-flat)[:5]
+        np.testing.assert_array_equal(np.asarray(r["labels"][0]),
+                                      order % K2)
 
 
 class TestMatcherRobustness:
