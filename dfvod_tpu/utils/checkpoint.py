@@ -125,6 +125,10 @@ def merge_temporal_weights(params, temporal_params=None, spatial_params=None):
     (fusion) checkpoint, overlaid onto current params."""
     merged = params
     if spatial_params is not None:
+        # a SINGLE-FRAME checkpoint's trunk is top-level; inside the
+        # temporal model it nests under ``detr`` (``models/temporal.py``)
+        if "detr" in params and "detr" not in spatial_params:
+            spatial_params = {"detr": spatial_params}
         merged, _ = merge_matching(merged, spatial_params)
     if temporal_params is not None:
         subset = select_keys(temporal_params, *TEMPORAL_KEY_PATTERNS)

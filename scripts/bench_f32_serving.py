@@ -25,7 +25,8 @@ def timed(fn, x, iters=ITERS):
         def body(i, c):
             out = fn(c)
             # perturb the carry so dispatches aren't elided
-            return c + (jnp.tanh(out) * 1e-6).astype(c.dtype)
+            return c + (jnp.tanh(jnp.sum(out.astype(jnp.float32)))
+                        * 1e-6).astype(c.dtype)
         return jax.lax.fori_loop(0, iters, body, x0)
 
     g = jax.jit(chain)
