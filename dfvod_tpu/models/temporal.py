@@ -307,7 +307,13 @@ class TemporalDeformableDETR(nn.Module):
 
         if cfg.fixed_pretrained_model:
             sg = jax.lax.stop_gradient
-            trunk = jax.tree_util.tree_map(sg, trunk)
+            # spatial_shapes is STATIC metadata (a Python int tuple) — a
+            # tree_map'd stop_gradient would turn it into traced scalars
+            # and break the int() shape math downstream
+            trunk = {**jax.tree_util.tree_map(
+                sg, {k: v for k, v in trunk.items()
+                     if k != "spatial_shapes"}),
+                "spatial_shapes": trunk["spatial_shapes"]}
             out_sf = {**out_sf,
                       "pred_logits": sg(out_sf["pred_logits"]),
                       "pred_boxes": sg(out_sf["pred_boxes"])}

@@ -293,3 +293,42 @@ class TestTemporalModels:
             lambda v: model.apply(v, images, mask, train=False))(variables)
         assert out["pred_logits"].shape == (B, cfg.model.num_queries, 3)
         assert np.isfinite(np.asarray(out["pred_logits"])).all()
+
+
+def test_fixed_pretrained_model_forward(rng):
+    """``--fixed_pretrained_model`` forward: the trunk stop_gradient must
+    not swallow the STATIC spatial_shapes tuple (regression: tree_map'd
+    stop_gradient turned it into traced scalars and broke the QRF shape
+    math during the on-chip video fine-tune)."""
+    import dataclasses
+    cfg = tiny_cfg("transvod_pp", n_ref=2)
+    cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+        cfg.model, fixed_pretrained_model=True))
+    model, criterion, _ = build_model(cfg)
+    F, B = 3, 1
+    r = np.random.default_rng(5)
+    images = jnp.asarray(r.standard_normal((B * F, 64, 64, 3)), jnp.float32)
+    mask = jnp.zeros((B * F, 64, 64), bool)
+    variables = jax.jit(lambda k: model.init(k, images, mask, train=False))(
+        jax.random.PRNGKey(0))
+    out = jax.jit(lambda v: model.apply(v, images, mask, train=False))(
+        variables)
+    assert np.isfinite(np.asarray(out["pred_boxes"])).all()
+    # the frozen trunk yields zero grads; temporal heads still get them
+    targets = {"labels": jnp.ones((B, 4), jnp.int32),
+               "boxes": jnp.tile(jnp.array([.5, .5, .2, .2]), (B, 4, 1)),
+               "valid": jnp.tile(jnp.arange(4) < 2, (B, 1))}
+
+    def loss_fn(params):
+        o = model.apply({**variables, "params": params}, images, mask,
+                        train=False)
+        return criterion({"pred_logits": o["pred_logits"],
+                          "pred_boxes": o["pred_boxes"]}, targets)[0]
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    g_trunk = sum(float(jnp.abs(g).sum()) for g in
+                  jax.tree_util.tree_leaves(grads["detr"]))
+    g_temp = sum(float(jnp.abs(g).sum()) for g in
+                 jax.tree_util.tree_leaves(grads["temporal_query_layer1"]))
+    assert g_trunk == 0.0
+    assert g_temp > 0.0
