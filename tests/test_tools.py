@@ -130,6 +130,17 @@ class TestSegmentation:
             {"epoch": 1, "train_loss": 0.5}) + "\n")
         viz.plot_logs([str(d)], path=str(tmp_path / "curves.png"))
         assert (tmp_path / "curves.png").exists()
+        viz.visualize_queries(rng.standard_normal(64), str(tmp_path / "q1.png"))
+        viz.visualize_queries(rng.standard_normal((10, 64)),
+                              str(tmp_path / "q2.png"))
+        viz.visualize_position_embeddings(
+            rng.standard_normal((8, 12, 32)), str(tmp_path / "pe.png"),
+            num_channels=8)
+        viz.visualize_attention_points(
+            rng.random((8, 12)), rng.random((2, 4, 1, 4, 2)),
+            rng.random((2, 4, 1, 4)), str(tmp_path / "ap.png"))
+        for f in ("q1.png", "q2.png", "pe.png", "ap.png"):
+            assert (tmp_path / f).exists()
 
 
 class TestPanoptic:
