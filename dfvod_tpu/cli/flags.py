@@ -95,6 +95,15 @@ def get_args_parser(video: bool = False) -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"],
                    help="bfloat16: mixed-precision training (f32 master "
                         "params, bf16 activations + Pallas hat kernels)")
+    p.add_argument("--strong_aug", action="store_true",
+                   help="photometric distortion + MinIoURandomCrop in "
+                        "training (the reference's transforms_multi.py:"
+                        "254-398 extras); for tiny training sets")
+    p.add_argument("--eval_every", default=0, type=int,
+                   help="COCO-eval every N epochs and keep the best-"
+                        "mAP@0.5 checkpoint under output_dir/best "
+                        "(reference evaluates every epoch, main.py:"
+                        "587-600); 0 = end of run only")
     p.add_argument("--cache_mode", action="store_true",
                    help="cache the whole dataset in RAM, sharded per "
                         "host (``main.py:158``)")

@@ -193,6 +193,7 @@ def train_loop(cfg, *, video: bool = False, resume: str = "",
 
     print("Start training")
     t0 = time.time()
+    best_map50 = -1.0
     profile_dir = getattr(cfg.train, "profile_dir", "")
     profiling = False
     step_idx = 0
@@ -230,6 +231,20 @@ def train_loop(cfg, *, video: bool = False, resume: str = "",
         stats = {"epoch": epoch,
                  **{f"train_{k}": m.global_avg
                     for k, m in logger.meters.items()}}
+        # periodic eval + best-checkpoint tracking (the reference
+        # evaluates every epoch, ``main.py:587-600``)
+        ev = cfg.train.eval_every
+        if ev and ((epoch + 1) % ev == 0 or epoch + 1 == cfg.train.epochs):
+            val_stats = evaluate(model, state.variables, val_loader,
+                                 val_ds.coco, frames=frames)
+            stats.update({f"test_{k}": v for k, v in val_stats.items()})
+            if val_stats.get("mAP_50", 0.0) > best_map50:
+                best_map50 = val_stats["mAP_50"]
+                if cfg.output_dir:
+                    import os
+                    ckpt.save_checkpoint(
+                        os.path.join(cfg.output_dir, "best"), state, epoch)
+                print(f"new best mAP_50={best_map50:.4f} @ epoch {epoch}")
         append_log(cfg.output_dir, stats)
         wandb.log(stats)
 

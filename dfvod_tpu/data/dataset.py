@@ -315,6 +315,7 @@ def make_transform(train: bool, cfg):
     data = cfg.data
     if train:
         return TrainTransform(short_sides=data.train_short_sides,
-                              max_size=data.max_size)
+                              max_size=data.max_size,
+                              strong_aug=data.strong_aug)
     return EvalTransform(short_side=data.eval_short_side,
                          max_size=data.max_size)

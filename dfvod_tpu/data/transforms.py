@@ -262,14 +262,28 @@ def pad_u8(sample: Sample, pad_hw: Tuple[int, int], use_depth: bool,
 
 @dataclasses.dataclass
 class TrainTransform:
-    """HFlip + multi-scale resize; one random draw shared across a clip."""
+    """HFlip + multi-scale resize; one random draw shared across a clip.
+
+    ``strong_aug`` prepends the reference's library extras — photometric
+    distortion then MinIoURandomCrop (``transforms_multi.py:254-398``) —
+    clip-consistently. Off by default (the reference's production
+    pipeline is HFlip + RandomResize only, ``vid_single.py:144-157``).
+    """
     short_sides: Sequence[int] = tuple(range(480, 801, 32))
     max_size: int = 1333
     bucket_step: int = 128
     pad_cap: int = 1344
+    strong_aug: bool = False
 
     def __call__(self, frames: List[Sample], rng: np.random.Generator
                  ) -> List[Sample]:
+        if self.strong_aug:
+            from dfvod_tpu.data.photometric import (
+                MinIoURandomCrop,
+                PhotometricDistortion,
+            )
+            frames = PhotometricDistortion()(frames, rng)
+            frames = MinIoURandomCrop()(frames, rng)
         flip = rng.random() < 0.5
         short = int(rng.choice(np.asarray(self.short_sides)))
         out = []

@@ -132,6 +132,11 @@ class TrainConfig:
     # (SURVEY.md §5: the TPU-native replacement for the reference's
     # commented time.time() probes)
     profile_dir: str = ""
+    # run COCO eval every N epochs during training (the reference
+    # evaluates EVERY epoch, ``main.py:587-600``; 0 keeps end-of-run
+    # only). The best-mAP@0.5 checkpoint is kept under
+    # ``output_dir/best``.
+    eval_every: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -167,6 +172,11 @@ class DataConfig:
     # loader worker threads (``main.py:156`` --num_workers); 0 = the
     # single double-buffering prefetch thread
     num_workers: int = 0
+    # photometric distortion + MinIoURandomCrop in the train transform —
+    # the reference's library extras (``transforms_multi.py:254-398``,
+    # shipped but not enabled in its production pipeline). Worthwhile on
+    # tiny training sets (datasets/oid_hands: 20 images).
+    strong_aug: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

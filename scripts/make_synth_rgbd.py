@@ -84,8 +84,55 @@ def paint(canvas, depth, stamp, top, left, color, depth_val):
             xs.max() - xs.min() + 1, ys.max() - ys.min() + 1)
 
 
-def make_video(rng, vid, img_id0, ann_id0, img_dir, depth_dir):
-    """One 4-frame clip. Returns (images, annotations)."""
+def motion_blur(rgb, rng, k=9):
+    """Directional box blur: smears hands/distractors along a random
+    direction (cheap separable approximation via shifted averages)."""
+    ang = rng.uniform(0, np.pi)
+    dy, dx = np.sin(ang), np.cos(ang)
+    acc = np.zeros_like(rgb, np.float32)
+    for i in range(-(k // 2), k // 2 + 1):
+        sy, sx = int(round(i * dy)), int(round(i * dx))
+        acc += np.roll(np.roll(rgb, sy, 0), sx, 1)
+    return acc / k
+
+
+def occlude(canvas, depth, rng, boxes):
+    """A foreground bar sweeping across each hand box: covers 40-75% of
+    the box in RGB AND sits closer than the hand in depth, so neither
+    modality can recover the object from this frame alone."""
+    for (x, y, w, h) in boxes:
+        if rng.random() < 0.2:
+            continue
+        frac = rng.uniform(0.4, 0.75)
+        if rng.random() < 0.5:  # vertical bar
+            bw = max(int(w * frac), 4)
+            bx = int(x + rng.uniform(0, max(w - bw, 1)))
+            y0, y1 = max(int(y) - 8, 0), min(int(y + h) + 8, H)
+            x0, x1 = max(bx, 0), min(bx + bw, W)
+        else:                   # horizontal bar
+            bh = max(int(h * frac), 4)
+            by = int(y + rng.uniform(0, max(h - bh, 1)))
+            x0, x1 = max(int(x) - 8, 0), min(int(x + w) + 8, W)
+            y0, y1 = max(by, 0), min(by + bh, H)
+        if y1 <= y0 or x1 <= x0:
+            continue
+        col = rng.random(3) * 0.5 + 0.25
+        canvas[y0:y1, x0:x1] = col
+        depth[y0:y1, x0:x1] = 250.0  # occluder is the CLOSEST surface
+
+
+def make_video(rng, vid, img_id0, ann_id0, img_dir, depth_dir,
+               degrade=False):
+    """One 4-frame clip. Returns (images, annotations).
+
+    ``degrade`` (the ``synth_rgbd_hard`` variant, VERDICT r2 task 4):
+    every EVEN frame is corrupted — motion blur over the whole frame
+    plus a near-depth occluder bar across each hand — while odd frames
+    stay clean. Boxes are kept from the clean geometry (the object is
+    still there), so a temporal model can recover a degraded key frame
+    from its clean neighbors while a single-frame model cannot: the
+    property that makes TransVOD's reference frames informative
+    (``README.md:22-28`` thesis claim)."""
     base_col = rng.random(3) * 0.4 + 0.1
     n_hands = rng.integers(1, 4)
     n_dis = rng.integers(0, 4)
@@ -137,6 +184,9 @@ def make_video(rng, vid, img_id0, ann_id0, img_dir, depth_dir):
             if box is not None and box[2] >= 6 and box[3] >= 6:
                 frame_anns.append(box)
 
+        if degrade and f % 2 == 0:
+            occlude(canvas, depth, rng, frame_anns)
+            canvas = motion_blur(canvas, rng)
         noise = rng.normal(0, 0.02, canvas.shape)
         rgb = ((canvas + noise).clip(0, 1) * 255).astype(np.uint8)
         name = f"v{vid:03d}_f{f}.jpg"
@@ -164,7 +214,8 @@ def make_video(rng, vid, img_id0, ann_id0, img_dir, depth_dir):
     return images, annotations
 
 
-def main(out_root, seed=0, n_train_videos=60, n_val_videos=15):
+def main(out_root, seed=0, n_train_videos=60, n_val_videos=15,
+         degrade=False):
     from pathlib import Path
     root = Path(out_root) / "coco"
     img_dir = root / "images"
@@ -180,7 +231,7 @@ def main(out_root, seed=0, n_train_videos=60, n_val_videos=15):
         for _ in range(n_videos):
             videos.append({"id": vid, "name": f"v{vid:03d}"})
             imgs, anns = make_video(rng, vid, img_id, ann_id,
-                                    img_dir, depth_dir)
+                                    img_dir, depth_dir, degrade=degrade)
             images += imgs
             annotations += anns
             img_id += len(imgs)
@@ -200,5 +251,9 @@ if __name__ == "__main__":
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--train_videos", type=int, default=60)
     p.add_argument("--val_videos", type=int, default=15)
+    p.add_argument("--degrade", action="store_true",
+                   help="corrupt even frames (motion blur + near-depth "
+                        "occluders); the synth_rgbd_hard variant where "
+                        "temporal aggregation has signal to recover")
     a = p.parse_args()
-    main(a.out, a.seed, a.train_videos, a.val_videos)
+    main(a.out, a.seed, a.train_videos, a.val_videos, degrade=a.degrade)
