@@ -144,6 +144,85 @@ def main():
     report("detection head (1x, Q=300)", measure(
         lambda c: head.apply(headv, qtokens + c)[1]))
 
+    # ---- round 3: the previously-unattributed pieces ------------------
+    # backbone + DFormer measured IN THIS script (same methodology) so
+    # the sum is internally consistent
+    from dfvod_tpu.models.backbone_resnet import ResNet50
+    from dfvod_tpu.models.backbone_dformer import DFormerBackbone
+    rgb = rand(B, H, W, 3)
+    r50 = ResNet50(dilation=True, return_stages=(4,))
+    r50v = to16(jax.jit(lambda r: r50.init(r, rgb, train=False))(key))
+    report("ResNet50 trunk (608x800)", measure(
+        lambda c: r50.apply(r50v, rgb + c, train=False)[4]))
+    dimg = rand(B, H, W, 1)
+    imask0 = jnp.zeros((B, H, W), bool)
+    df = DFormerBackbone()
+    dfv = to16(jax.jit(lambda r: df.init(r, dimg, imask0,
+                                         train=False))(key))
+    report("DFormer stem (608x800)", measure(
+        lambda c: df.apply(dfv, dimg + c, imask0, train=False)[0]))
+
+    # transformer prologue: mask interp to the grid + flatten/level-embed
+    # + valid ratios + reference-point grid
+    from dfvod_tpu.models.transformer import (
+        encoder_reference_points,
+        flatten_levels,
+        get_valid_ratio,
+    )
+    imask = jnp.zeros((B, H, W), bool)
+    lvl = rand(1, D)
+
+    def prologue(c):
+        fm = jax.image.resize(imask.astype(jnp.float32), (B, FH, FW),
+                              "nearest") > 0.5
+        sf, mf, pf, shp = flatten_levels([feat4[..., :D] + c], [fm],
+                                         [pos.reshape(B, FH, FW, D)], lvl)
+        vr = jnp.stack([get_valid_ratio(m) for m in [fm]], axis=1)
+        ref = encoder_reference_points(shp, vr)
+        return sf + ref.sum() + vr.sum() + mf.sum()
+
+    report("prologue (mask/flatten/valid/refpts)", measure(prologue))
+
+    # refine epilogue: per-layer head output -> sigmoid chain, 6x
+    from dfvod_tpu.models.transformer import refine_reference
+    deltas = rand(B, Q, 4)
+
+    def epilogue(c):
+        refp = jax.nn.sigmoid((deltas + c).astype(jnp.float32))[..., :4]
+        outs = []
+        for _ in range(6):
+            refp = refine_reference(deltas.astype(jnp.float32), refp)
+            outs.append(refp)
+        return jnp.stack(outs)
+
+    report("refine chain + output stack (6x)", measure(epilogue))
+
+    # ---- decoder-stack floor probe: Python loop vs lax.scan over the 6
+    # layers (stacked params). Same math; tests whether the 6x sequential
+    # Q=300 glue is scheduling/launch-bound or irreducible.
+    decvs = [to16(jax.jit(lambda r: dec.init(
+        r, qtokens, qpos, ref_dec, tokens, shapes, None))(
+        jax.random.PRNGKey(i))) for i in range(6)]
+
+    def six_loop(c):
+        out = qtokens + c
+        for v in decvs:
+            out = dec.apply(v, out, qpos, ref_dec, tokens, shapes, None)
+        return out
+
+    report("decoder 6x (python loop)", measure(six_loop))
+
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *decvs)
+
+    def six_scan(c):
+        def body(carry, v):
+            return dec.apply(v, carry, qpos, ref_dec, tokens, shapes,
+                             None), None
+        out, _ = jax.lax.scan(body, qtokens + c, stacked)
+        return out
+
+    report("decoder 6x (lax.scan stacked)", measure(six_scan))
+
     # ---- whole-model reference points
     from dfvod_tpu.models import build_model
     from dfvod_tpu.utils.config import Config, ModelConfig
@@ -165,10 +244,15 @@ def main():
                  + 6 * known["detection head (1x, Q=300)"]
                  + known["input_proj 2048->256 + GN"]
                  + known["input_proj_depth 128->256 + GN"]
-                 + known["sine_position_embedding (38x50)"] * 2)
-    print(f"\ntransformer-side accounted: {accounted * 1e3:.2f} ms "
-          f"(+ backbone 8.2 + dformer 2.7 from bench_components)")
-    print(f"full forward:               {full_ms * 1e3:.2f} ms")
+                 + known["sine_position_embedding (38x50)"] * 2
+                 + known["ResNet50 trunk (608x800)"]
+                 + known["DFormer stem (608x800)"]
+                 + known["prologue (mask/flatten/valid/refpts)"]
+                 + known["refine chain + output stack (6x)"])
+    print(f"\naccounted (all components, this script): "
+          f"{accounted * 1e3:.2f} ms")
+    print(f"full forward:               {full_ms * 1e3:.2f} ms "
+          f"({100 * accounted / full_ms:.1f}% accounted)")
 
 
 if __name__ == "__main__":
