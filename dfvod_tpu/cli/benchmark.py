@@ -30,6 +30,8 @@ def measure_average_inference_time(fn, args, num_iters: int = 100,
 
 
 def main(argv=None):
+    from dfvod_tpu.utils.jax_cache import enable_persistent_cache
+    enable_persistent_cache()
     parser = argparse.ArgumentParser(
         "dfvod_tpu benchmark", parents=[get_args_parser(video=True)])
     parser.add_argument("--num_iters", default=100, type=int)

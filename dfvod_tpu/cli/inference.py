@@ -50,6 +50,8 @@ class DeformableDETRInference:
 
     def __init__(self, cfg, resume: str = "", spatial_weights: str = "",
                  keep_prob: float = 0.5, mesh=None):
+        from dfvod_tpu.utils.jax_cache import enable_persistent_cache
+        enable_persistent_cache()
         self.cfg = cfg
         self.keep_prob = keep_prob
         self.model, _, _ = build_model(cfg)

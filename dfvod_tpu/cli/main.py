@@ -55,6 +55,8 @@ def train_loop(cfg, *, video: bool = False, resume: str = "",
                del_class_weights: bool = False,
                temporal_weights: str = "", spatial_weights: str = "",
                wandb_enabled: bool = False):
+    from dfvod_tpu.utils.jax_cache import enable_persistent_cache
+    enable_persistent_cache()
     np.random.seed(cfg.train.seed)
     if cfg.model.frozen_weights:
         # ``main.py:223``: seg-only training mode
