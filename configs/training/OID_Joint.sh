@@ -26,7 +26,7 @@ python -u -m dfvod_tpu.cli.main \
     --dropout 0.1 \
     --lr 1e-4 \
     --weight_decay 2e-5 \
-    --use_depth \
+    ${USE_DEPTH---use_depth} \
     --fusion_type ${FUSION:-LateFusion} \
     --dformer_backbone \
     --train_dtype bfloat16 \
