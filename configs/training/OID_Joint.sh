@@ -8,8 +8,16 @@
 # carry the localization machinery while the real photos carry
 # real-hand appearance. ACCURACY.md records the runs.
 set -x
+set -o pipefail
 EXP_DIR=${EXP_DIR:-output/oid_joint/}
 COCO_PATH=${COCO_PATH:-datasets/oid_joint}
+# USE_DEPTH=off -> RGB-only ablation (explicit, replacing the fragile
+# set-but-empty ${USE_DEPTH-...} contract flagged in ADVICE r3)
+if [ "${USE_DEPTH:-on}" = "off" ]; then
+  DEPTH_FLAG=""
+else
+  DEPTH_FLAG="--use_depth"
+fi
 mkdir -p ${EXP_DIR}
 python -u -m dfvod_tpu.cli.main \
     --backbone resnet50 \
@@ -26,7 +34,7 @@ python -u -m dfvod_tpu.cli.main \
     --dropout 0.1 \
     --lr 1e-4 \
     --weight_decay 2e-5 \
-    ${USE_DEPTH---use_depth} \
+    ${DEPTH_FLAG} \
     --fusion_type ${FUSION:-LateFusion} \
     --dformer_backbone \
     --train_dtype bfloat16 \

@@ -59,7 +59,13 @@ def get_args_parser(video: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--use_depth", action="store_true")
     p.add_argument("--fusion_type", default="Baseline",
                    choices=["Baseline", "LateFusion", "Backbone_CrossFusion",
-                            "Encoder_CrossFusion"])
+                            "Encoder_CrossFusion"],
+                   help="Backbone_CrossFusion implements the INTENDED "
+                        "fusion semantics — the reference's released "
+                        "graph never executes its fusion module (see "
+                        "README 'Compatibility contract' + PARITY.md "
+                        "defects #1/#2); reference checkpoints load but "
+                        "their cf weights were trained dead")
     p.add_argument("--dformer_backbone", action="store_true",
                    help="DFormer depth backbone for LateFusion/Encoder_CF "
                         "(without it they fall back to the R18 research "
@@ -75,6 +81,14 @@ def get_args_parser(video: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--seed", default=42, type=int)
     p.add_argument("--resume", default="", type=str)
     p.add_argument("--start_epoch", default=0, type=int)
+    p.add_argument("--auto_resume", action="store_true",
+                   help="if output_dir already holds a checkpoint, restore "
+                        "the FULL train state (params + optimizer + epoch + "
+                        "best-mAP metadata) and continue — the durability "
+                        "hook the supervisor (scripts/supervise.py) relies "
+                        "on after killing a hung run; goes beyond the "
+                        "reference's weights-only --resume "
+                        "(``main.py:522-540``)")
     p.add_argument("--eval", action="store_true")
     p.add_argument("--max_boxes", default=64, type=int)
     p.add_argument("--train_short_sides", default=None, type=int,

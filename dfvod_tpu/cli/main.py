@@ -54,7 +54,7 @@ def train_loop(cfg, *, video: bool = False, resume: str = "",
                start_epoch: int = 0, eval_only: bool = False,
                del_class_weights: bool = False,
                temporal_weights: str = "", spatial_weights: str = "",
-               wandb_enabled: bool = False):
+               wandb_enabled: bool = False, auto_resume: bool = False):
     from dfvod_tpu.utils.jax_cache import enable_persistent_cache
     enable_persistent_cache()
     np.random.seed(cfg.train.seed)
@@ -180,6 +180,28 @@ def train_loop(cfg, *, video: bool = False, resume: str = "",
         params, _ = ckpt.merge_matching(state.params, overlay)
         state = state.replace(params=params)
 
+    # ---- auto-resume (durability, not reference parity): pick up a run
+    # killed mid-flight by the supervisor — full state incl. optimizer and
+    # epoch, plus the best-mAP watermark so a worse post-restart eval
+    # cannot overwrite ``best/``
+    import json
+    import os
+    best_meta_path = os.path.join(cfg.output_dir or ".", "best_meta.json")
+    resumed_best = -1.0
+    if auto_resume and cfg.output_dir:
+        try:
+            state, last_epoch = ckpt.load_checkpoint(
+                cfg.output_dir, state, weights_only=False)
+            start_epoch = max(start_epoch, last_epoch + 1)
+            print(f"auto-resume: epoch {last_epoch} restored, "
+                  f"continuing at {start_epoch}")
+        except FileNotFoundError:
+            print("auto-resume: no checkpoint yet, fresh start")
+        if os.path.exists(best_meta_path):
+            with open(best_meta_path) as f:
+                resumed_best = json.load(f).get("best_map50", -1.0)
+            print(f"auto-resume: best mAP_50 watermark {resumed_best:.4f}")
+
     if eval_only:
         stats = evaluate(model, state.variables, val_loader, val_ds.coco,
                          frames=frames)
@@ -193,9 +215,24 @@ def train_loop(cfg, *, video: bool = False, resume: str = "",
     wandb = WandbLogger(wandb_enabled, config={"cfg": str(cfg)})
     rng = jax.random.PRNGKey(cfg.train.seed + 1)
 
+    # warm the eval-shape program before the epoch loop so the first
+    # --eval_every eval doesn't pay a mid-run XLA compile (round-3 logs:
+    # 37.0s first eval batch vs 2.6s steady state). One forward on the
+    # first val batch compiles + persists the program; evaluate() reuses
+    # the same memoized jitted step.
+    if cfg.train.eval_every and cfg.train.epochs - start_epoch > 1:
+        from dfvod_tpu.train.engine import make_eval_step
+        wb = val_loader.first_batch()
+        tw = time.time()
+        fwd = make_eval_step(model)
+        jax.block_until_ready(fwd(
+            state.variables, wb["image"],
+            wb["mask"] if "mask" in wb else wb["size"]))
+        print(f"eval-shape warm-up: {time.time() - tw:.1f}s")
+
     print("Start training")
     t0 = time.time()
-    best_map50 = -1.0
+    best_map50 = resumed_best
     profile_dir = getattr(cfg.train, "profile_dir", "")
     profiling = False
     step_idx = 0
@@ -243,9 +280,11 @@ def train_loop(cfg, *, video: bool = False, resume: str = "",
             if val_stats.get("mAP_50", 0.0) > best_map50:
                 best_map50 = val_stats["mAP_50"]
                 if cfg.output_dir:
-                    import os
                     ckpt.save_checkpoint(
                         os.path.join(cfg.output_dir, "best"), state, epoch)
+                    with open(best_meta_path, "w") as f:
+                        json.dump({"best_map50": best_map50,
+                                   "epoch": epoch}, f)
                 print(f"new best mAP_50={best_map50:.4f} @ epoch {epoch}")
         append_log(cfg.output_dir, stats)
         wandb.log(stats)
@@ -271,7 +310,8 @@ def main(argv=None, video: bool = False):
         eval_only=args.eval, del_class_weights=args.del_class_weights,
         temporal_weights=getattr(args, "transvod_temporal_weights", ""),
         spatial_weights=getattr(args, "spatial_weights", ""),
-        wandb_enabled=not args.no_wandb)
+        wandb_enabled=not args.no_wandb,
+        auto_resume=getattr(args, "auto_resume", False))
 
 
 if __name__ == "__main__":

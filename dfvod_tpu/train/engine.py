@@ -211,12 +211,20 @@ def optax_global_norm(tree):
     return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))
 
 
+_EVAL_STEP_MEMO = {}
+
+
 def make_eval_step(model):
     """Jitted forward returning (pred_logits, pred_boxes); accepts f32
     images + mask or uint8 images + sizes (on-device preprocess, see
     ``data/device_pipeline.py``). Host side finishes with ``postprocess``
     + COCO accumulation (``engine_single.py:81-165``); sharded batches
-    keep their committed shardings through jit."""
+    keep their committed shardings through jit. Memoized per model
+    instance so repeated ``evaluate()`` calls (and the CLI's startup
+    eval-shape warm-up) reuse one jitted program instead of retracing."""
+    memo = _EVAL_STEP_MEMO.get(id(model))
+    if memo is not None and memo[0] is model:
+        return memo[1]
 
     def fwd(variables, images, mask_or_sizes):
         from dfvod_tpu.data.device_pipeline import maybe_device_normalize
@@ -224,4 +232,6 @@ def make_eval_step(model):
         out = model.apply(variables, images, mask, train=False)
         return out["pred_logits"], out["pred_boxes"]
 
-    return jax.jit(fwd)
+    jitted = jax.jit(fwd)
+    _EVAL_STEP_MEMO[id(model)] = (model, jitted)
+    return jitted

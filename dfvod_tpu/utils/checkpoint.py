@@ -171,6 +171,18 @@ def load_checkpoint(output_dir: str, state=None, epoch: Optional[int] = None,
     step = epoch if epoch is not None else mgr.latest_step()
     if step is None:
         raise FileNotFoundError(f"no checkpoint under {output_dir}")
+    if state is not None and not weights_only:
+        # full-state restore (auto-resume): hand orbax the live payload as
+        # the target so the optax opt_state comes back with its NamedTuple
+        # structure instead of raw dicts
+        target = {"params": state.params, "model_state": state.model_state,
+                  "opt_state": state.opt_state, "step": state.step}
+        restored = mgr.restore(step, args=ocp.args.StandardRestore(target))
+        mgr.close()
+        return state.replace(params=restored["params"],
+                             model_state=restored["model_state"],
+                             opt_state=restored["opt_state"],
+                             step=restored["step"]), step
     restored = mgr.restore(step)
     mgr.close()
     if state is None:
@@ -178,11 +190,7 @@ def load_checkpoint(output_dir: str, state=None, epoch: Optional[int] = None,
     params, _ = merge_matching(state.params, restored["params"])
     model_state, _ = merge_matching(state.model_state,
                                     restored["model_state"])
-    kw = dict(params=params, model_state=model_state)
-    if not weights_only:
-        kw.update(opt_state=restored["opt_state"],
-                  step=restored["step"])
-    return state.replace(**kw), step
+    return state.replace(params=params, model_state=model_state), step
 
 
 # ---------------------------------------------------------------------------

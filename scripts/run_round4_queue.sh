@@ -1,0 +1,89 @@
+#!/bin/bash
+# Round-4 on-chip queue — the two accuracy chains round 3 lost to
+# infrastructure, now supervised (scripts/supervise.py: stall-detect +
+# kill + relaunch with --auto_resume) so a tunnel RPC hang costs minutes,
+# not the round (VERDICT r3 task 5).
+#   A. temporal win: stage-2 TransVOD++ re-run to actual convergence
+#      (60 epochs vs round 3's killed-at-9-of-12), then the clean/degraded
+#      split eval -> the video-vs-single table ACCURACY.md needs.
+#   B. joint synth+OID north star: seed 42 + eval + overlays, then seeds
+#      7/1234, then the RGB-only ablation (VERDICT r3 task 3).
+#   C. the serving batch-scaling probe that was cut at round end.
+# Every step tees into logs_r4/ (tracked) and drops a sentinel file on
+# success so the follow-up queue can gate on real completion (ADVICE r3).
+set -x
+set -o pipefail
+cd "$(dirname "$0")/.."
+export DFVOD_JAX_CACHE="$PWD/.jax_cache"
+mkdir -p logs_r4 output .sentinels
+
+# wait for the TPU tunnel (hung-RPC episodes recover on their own; round
+# 3 lost runs by giving up instead of waiting)
+for i in $(seq 1 60); do
+  if timeout 120 python -c "import jax,jax.numpy as jnp; print(jax.devices()); print(float(jnp.sum(jnp.ones((8,)))))"; then
+    break
+  fi
+  echo "tunnel check $i failed; retrying in 60s"; sleep 60
+  [ "$i" = 60 ] && exit 1
+done
+
+# idempotent dataset materialization (images/ are symlinks into the
+# reference sample and die with host swaps; annotations are tracked)
+python tools/oid_hands_labels.py 2>&1 | tee logs_r4/datasets.log
+python tools/make_oid_joint.py   2>&1 | tee -a logs_r4/datasets.log
+
+step() { # step <name> <deadline_s> <cmd...>
+  local name=$1 deadline=$2; shift 2
+  if [ -f ".sentinels/$name" ]; then echo "skip $name (sentinel)"; return 0; fi
+  if python scripts/supervise.py --stall 900 --deadline "$deadline" -- \
+      "$@" 2>&1 | tee "logs_r4/$name.log"; then
+    touch ".sentinels/$name"
+  else
+    echo "STEP FAILED: $name" | tee -a "logs_r4/$name.log"
+    return 1
+  fi
+}
+
+# ---- A. temporal win ----
+step stage2_transvodpp 4200 \
+  env STAGE=video EPOCHS=60 EXP_DIR=output/synthhard_transvod_pp2/ \
+  bash configs/training/SynthHard_Temporal.sh --eval_every 3 --auto_resume
+
+step split_video 1500 \
+  python scripts/eval_split_report.py \
+    --resume output/synthhard_transvod_pp2/best \
+    --temporal_mode transvod_pp --num_ref_frames 2
+
+# ---- B. joint OID north star ----
+step oid_joint_s42 5400 \
+  env EXP_DIR=output/oid_joint/ \
+  bash configs/training/OID_Joint.sh --auto_resume
+
+step oid_joint_s42_eval 1500 \
+  python scripts/eval_oid_report.py --resume output/oid_joint/best
+
+step oid_overlays 1200 \
+  python scripts/demo_oid.py --out output/oid_overlays \
+    --resume output/oid_joint/best --num_images 27 --keep_prob 0.3
+
+for SEED in 7 1234; do
+  step oid_joint_s${SEED} 5400 \
+    env EXP_DIR=output/oid_joint_s${SEED}/ \
+    bash configs/training/OID_Joint.sh --seed ${SEED} --auto_resume
+  step oid_joint_s${SEED}_eval 1500 \
+    python scripts/eval_oid_report.py --resume output/oid_joint_s${SEED}/best
+done
+
+# RGB-only ablation (explicit USE_DEPTH=off contract)
+step oid_joint_baseline 5400 \
+  env FUSION=Baseline USE_DEPTH=off EXP_DIR=output/oid_joint_baseline/ \
+  bash configs/training/OID_Joint.sh --auto_resume
+step oid_joint_baseline_eval 1500 \
+  python scripts/eval_oid_report.py --resume output/oid_joint_baseline/best \
+    --fusion_type Baseline
+
+# ---- C. perf: batch scaling (cut short at round-3 end) ----
+step serving_batch 2400 \
+  python scripts/bench_serving_batch.py 4 8 16 24
+
+echo QUEUE_R4_DONE

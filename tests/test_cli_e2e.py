@@ -305,3 +305,40 @@ class TestProfileTrace:
         traces = list(prof.rglob("*.pb")) + list(prof.rglob("*.json.gz")) \
             + list(prof.rglob("*.xplane.pb"))
         assert traces, f"no trace artifacts under {prof}"
+
+
+class TestAutoResume:
+    def test_auto_resume_continues_with_optimizer(self, coco_tree, tmp_path):
+        """Durability hook for scripts/supervise.py: a second train_loop
+        with ``auto_resume=True`` must restore the FULL state (params,
+        optax opt_state with its NamedTuple structure, epoch counter,
+        best-mAP watermark) and continue from the next epoch rather than
+        re-running epoch 0."""
+        import dataclasses
+        from dfvod_tpu.cli.main import train_loop
+        from dfvod_tpu.utils.checkpoint import load_checkpoint
+
+        out = tmp_path / "run"
+        cfg = tiny_train_cfg(coco_tree, out)
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, epochs=1,
+                                           eval_every=1))
+        train_loop(cfg)  # epoch 0 only; writes checkpoint + best_meta
+        assert (out / "best_meta.json").exists()
+
+        # "crashed after epoch 0" -> relaunch asking for 2 epochs total
+        cfg2 = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, epochs=2,
+                                           eval_every=1))
+        train_loop(cfg2, auto_resume=True)
+        lines = [json.loads(x) for x in
+                 (out / "log.txt").read_text().splitlines()]
+        epochs_trained = [ln["epoch"] for ln in lines if "epoch" in ln]
+        # epoch 0 exactly once (from the first run), epoch 1 from resume
+        assert epochs_trained.count(0) == 1, epochs_trained
+        assert 1 in epochs_trained, epochs_trained
+        restored, step = load_checkpoint(str(out))
+        assert step == 1
+        # optimizer state advanced: step counter equals total train steps
+        assert int(np.asarray(restored["step"])) == 2 * max(
+            1, 8 // cfg.train.batch_size)
