@@ -96,14 +96,22 @@ def motion_blur(rgb, rng, k=9):
     return acc / k
 
 
-def occlude(canvas, depth, rng, boxes):
+def occlude(canvas, depth, rng, boxes, hard=False):
     """A foreground bar sweeping across each hand box: covers 40-75% of
     the box in RGB AND sits closer than the hand in depth, so neither
-    modality can recover the object from this frame alone."""
+    modality can recover the object from this frame alone.
+
+    ``hard`` (round 4): the round-3 split eval showed the single-frame
+    model only loses 4.8 pts on the default degraded keys (0.786 vs
+    0.834) — too little headroom to demonstrate the temporal win
+    (VERDICT r3 weak #4/task 2). Hard mode occludes EVERY hand with an
+    80-95% bar, leaving the degraded key frame near-uninformative while
+    the clean +-1 neighbors still pin the object (hands drift <=6
+    px/frame, well inside IoU-0.5 for the 40-90 px hands)."""
     for (x, y, w, h) in boxes:
-        if rng.random() < 0.2:
+        if not hard and rng.random() < 0.2:
             continue
-        frac = rng.uniform(0.4, 0.75)
+        frac = rng.uniform(0.8, 0.95) if hard else rng.uniform(0.4, 0.75)
         if rng.random() < 0.5:  # vertical bar
             bw = max(int(w * frac), 4)
             bx = int(x + rng.uniform(0, max(w - bw, 1)))
@@ -122,7 +130,7 @@ def occlude(canvas, depth, rng, boxes):
 
 
 def make_video(rng, vid, img_id0, ann_id0, img_dir, depth_dir,
-               degrade=False):
+               degrade=False, hard=False):
     """One 4-frame clip. Returns (images, annotations).
 
     ``degrade`` (the ``synth_rgbd_hard`` variant, VERDICT r2 task 4):
@@ -185,8 +193,8 @@ def make_video(rng, vid, img_id0, ann_id0, img_dir, depth_dir,
                 frame_anns.append(box)
 
         if degrade and f % 2 == 0:
-            occlude(canvas, depth, rng, frame_anns)
-            canvas = motion_blur(canvas, rng)
+            occlude(canvas, depth, rng, frame_anns, hard=hard)
+            canvas = motion_blur(canvas, rng, k=15 if hard else 9)
         noise = rng.normal(0, 0.02, canvas.shape)
         rgb = ((canvas + noise).clip(0, 1) * 255).astype(np.uint8)
         name = f"v{vid:03d}_f{f}.jpg"
@@ -215,7 +223,7 @@ def make_video(rng, vid, img_id0, ann_id0, img_dir, depth_dir,
 
 
 def main(out_root, seed=0, n_train_videos=60, n_val_videos=15,
-         degrade=False):
+         degrade=False, hard=False):
     from pathlib import Path
     root = Path(out_root) / "coco"
     img_dir = root / "images"
@@ -231,7 +239,8 @@ def main(out_root, seed=0, n_train_videos=60, n_val_videos=15,
         for _ in range(n_videos):
             videos.append({"id": vid, "name": f"v{vid:03d}"})
             imgs, anns = make_video(rng, vid, img_id, ann_id,
-                                    img_dir, depth_dir, degrade=degrade)
+                                    img_dir, depth_dir, degrade=degrade,
+                                    hard=hard)
             images += imgs
             annotations += anns
             img_id += len(imgs)
@@ -255,5 +264,11 @@ if __name__ == "__main__":
                    help="corrupt even frames (motion blur + near-depth "
                         "occluders); the synth_rgbd_hard variant where "
                         "temporal aggregation has signal to recover")
+    p.add_argument("--hard", action="store_true",
+                   help="with --degrade: occlude EVERY hand 80-95% and "
+                        "double the blur so degraded key frames are "
+                        "near-uninformative (synth_rgbd_hard2 — the "
+                        "headroom the temporal-win experiment needs)")
     a = p.parse_args()
-    main(a.out, a.seed, a.train_videos, a.val_videos, degrade=a.degrade)
+    main(a.out, a.seed, a.train_videos, a.val_videos, degrade=a.degrade,
+         hard=a.hard)
