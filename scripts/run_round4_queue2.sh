@@ -36,8 +36,8 @@ step hard2_split_single 1500 \
     --resume output/hard2_latefusion/best \
     --coco_path datasets/synth_rgbd_hard2
 
-step hard2_stage2 4800 \
-  env STAGE=video EPOCHS=60 COCO_PATH=datasets/synth_rgbd_hard2 \
+step hard2_stage2 3600 \
+  env STAGE=video EPOCHS=45 COCO_PATH=datasets/synth_rgbd_hard2 \
   EXP_DIR=output/hard2_transvod_pp/ \
   SPATIAL_WEIGHTS=output/hard2_latefusion/ \
   bash configs/training/SynthHard_Temporal.sh --eval_every 3 --auto_resume
