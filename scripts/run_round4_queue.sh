@@ -55,8 +55,11 @@ step split_video 1500 \
     --temporal_mode transvod_pp --num_ref_frames 2
 
 # ---- B. joint OID north star ----
+# EPOCHS trimmed 60->45 for round-4 wall clock (plateau analysis of the
+# sibling runs shows convergence well before 45; auto_resume keeps the
+# partial epochs already trained)
 step oid_joint_s42 5400 \
-  env EXP_DIR=output/oid_joint/ \
+  env EPOCHS=45 EXP_DIR=output/oid_joint/ \
   bash configs/training/OID_Joint.sh --auto_resume
 
 step oid_joint_s42_eval 1500 \
@@ -66,17 +69,19 @@ step oid_overlays 1200 \
   python scripts/demo_oid.py --out output/oid_overlays \
     --resume output/oid_joint/best --num_images 27 --keep_prob 0.3
 
+# seed repeats trimmed to EPOCHS=35 (spread estimate, not full runs) —
+# run only as wall clock allows; skip via .sentinels/oid_joint_s<SEED>
 for SEED in 7 1234; do
-  step oid_joint_s${SEED} 5400 \
-    env EXP_DIR=output/oid_joint_s${SEED}/ \
+  step oid_joint_s${SEED} 3600 \
+    env EPOCHS=35 EXP_DIR=output/oid_joint_s${SEED}/ \
     bash configs/training/OID_Joint.sh --seed ${SEED} --auto_resume
   step oid_joint_s${SEED}_eval 1500 \
     python scripts/eval_oid_report.py --resume output/oid_joint_s${SEED}/best
 done
 
 # RGB-only ablation (explicit USE_DEPTH=off contract)
-step oid_joint_baseline 5400 \
-  env FUSION=Baseline USE_DEPTH=off EXP_DIR=output/oid_joint_baseline/ \
+step oid_joint_baseline 3600 \
+  env EPOCHS=35 FUSION=Baseline USE_DEPTH=off EXP_DIR=output/oid_joint_baseline/ \
   bash configs/training/OID_Joint.sh --auto_resume
 step oid_joint_baseline_eval 1500 \
   python scripts/eval_oid_report.py --resume output/oid_joint_baseline/best \
