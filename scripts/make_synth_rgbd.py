@@ -185,14 +185,26 @@ def make_video(rng, vid, img_id0, ann_id0, img_dir, depth_dir,
             # depth untouched: distractor sits AT the background plane
 
         frame_anns = []
+        erase_frame = degrade == "erase" and f % 2 == 0
         for stamp, size, pos, vel, col in hands:
             t, le = int(pos[0] + f * vel[0]), int(pos[1] + f * vel[1])
             near = 0.6 + 0.35 * (size - 40) / 50.0
-            box = paint(canvas, depth, stamp, t, le, col, near)
+            if erase_frame:
+                # full occlusion: the hand is NOT rendered (RGB or depth)
+                # on even frames, but its clean-geometry box is kept —
+                # zero single-frame signal, full +-1-neighbor signal.
+                # (The bar-occluder variants leak: the bar is placed
+                # over the box, so a single-frame model learns to box
+                # the occluder — measured 0.842 degraded-keys mAP@0.5,
+                # logs_r4/hard2_split_single.log.)
+                box = paint(np.array(canvas), np.array(depth), stamp,
+                            t, le, col, near)  # box from throwaway copies
+            else:
+                box = paint(canvas, depth, stamp, t, le, col, near)
             if box is not None and box[2] >= 6 and box[3] >= 6:
                 frame_anns.append(box)
 
-        if degrade and f % 2 == 0:
+        if degrade is True and f % 2 == 0:
             occlude(canvas, depth, rng, frame_anns, hard=hard)
             canvas = motion_blur(canvas, rng, k=15 if hard else 9)
         noise = rng.normal(0, 0.02, canvas.shape)
@@ -260,6 +272,13 @@ if __name__ == "__main__":
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--train_videos", type=int, default=60)
     p.add_argument("--val_videos", type=int, default=15)
+    p.add_argument("--erase", action="store_true",
+                   help="degrade variant without the occluder leak: even "
+                        "frames simply do not render the hands (RGB and "
+                        "depth both background); boxes kept from clean "
+                        "geometry. Single-frame mAP on degraded keys has "
+                        "no signal at all; temporal models recover from "
+                        "the clean odd neighbors (synth_rgbd_erase)")
     p.add_argument("--degrade", action="store_true",
                    help="corrupt even frames (motion blur + near-depth "
                         "occluders); the synth_rgbd_hard variant where "
@@ -270,5 +289,5 @@ if __name__ == "__main__":
                         "near-uninformative (synth_rgbd_hard2 — the "
                         "headroom the temporal-win experiment needs)")
     a = p.parse_args()
-    main(a.out, a.seed, a.train_videos, a.val_videos, degrade=a.degrade,
-         hard=a.hard)
+    main(a.out, a.seed, a.train_videos, a.val_videos,
+         degrade="erase" if a.erase else a.degrade, hard=a.hard)
