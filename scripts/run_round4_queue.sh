@@ -59,7 +59,7 @@ step split_video 1500 \
 # sibling runs shows convergence well before 45; auto_resume keeps the
 # partial epochs already trained)
 step oid_joint_s42 5400 \
-  env EPOCHS=45 EXP_DIR=output/oid_joint/ \
+  env EPOCHS=25 EXP_DIR=output/oid_joint/ \
   bash configs/training/OID_Joint.sh --auto_resume
 
 step oid_joint_s42_eval 1500 \
