@@ -252,8 +252,16 @@ def train_loop(cfg, *, video: bool = False, resume: str = "",
                 profiling = False
                 print(f"profile written to {profile_dir}")
             step_idx += 1
+            t_step = time.time()
             state, metrics = step_fn(state, to_batch(sample), rng)
             loss = float(metrics["loss"])
+            if time.time() - t_step > 60:
+                # compile-heavy step: emit a line so stall-detecting
+                # supervisors (scripts/supervise.py) see liveness — a
+                # cold multi-bucket start can otherwise go >15 min
+                # between MetricLogger prints and be killed mid-compile
+                print(f"step {step_idx - 1}: {time.time() - t_step:.0f}s "
+                      "(XLA compile)", flush=True)
             if not np.isfinite(loss):
                 # NaN hard-exit (``engine_single.py:56-59``)
                 print(f"Loss is {loss}, stopping training")
