@@ -25,4 +25,4 @@ python -u -m dfvod_tpu.cli.main \
     --fusion_type Backbone_CrossFusion \
     --del_class_weights \
     --resume ${RESUME_PATH} \
-    "$@" | tee ${EXP_DIR}/train_output.txt
+    "$@" | tee -a ${EXP_DIR}/train_output.txt

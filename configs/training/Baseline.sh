@@ -22,4 +22,4 @@ python -u -m dfvod_tpu.cli.main \
     --lr 1e-5 \
     --weight_decay 2e-5 \
     
-    "$@" | tee ${EXP_DIR}/train_output.txt
+    "$@" | tee -a ${EXP_DIR}/train_output.txt

@@ -27,4 +27,4 @@ python -u -m dfvod_tpu.cli.main \
     ${DFORMER_WEIGHTS:+--dformer_weights ${DFORMER_WEIGHTS}} \
     --del_class_weights \
     --resume ${RESUME_PATH} \
-    "$@" | tee ${EXP_DIR}/train_output.txt
+    "$@" | tee -a ${EXP_DIR}/train_output.txt

@@ -32,4 +32,4 @@ python -u -m dfvod_tpu.cli.main \
     --device_preprocess \
     --del_class_weights \
     --resume ${RESUME_PATH} \
-    "$@" | tee ${EXP_DIR}/train_output.txt
+    "$@" | tee -a ${EXP_DIR}/train_output.txt

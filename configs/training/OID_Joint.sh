@@ -44,4 +44,4 @@ python -u -m dfvod_tpu.cli.main \
     --max_size 800 \
     --strong_aug \
     --eval_every ${EVAL_EVERY:-5} \
-    "$@" | tee ${EXP_DIR}/train_output.txt
+    "$@" | tee -a ${EXP_DIR}/train_output.txt

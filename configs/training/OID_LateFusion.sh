@@ -32,4 +32,4 @@ python -u -m dfvod_tpu.cli.main \
     --train_short_sides 384 448 512 \
     --eval_short_side 448 \
     --max_size 800 \
-    "$@" | tee ${EXP_DIR}/train_output.txt
+    "$@" | tee -a ${EXP_DIR}/train_output.txt

@@ -41,7 +41,7 @@ if [ "${STAGE:-single}" = "video" ]; then
       --max_size 512 \
       --spatial_weights ${SPATIAL_WEIGHTS:-output/synthhard_latefusion/} \
       --fixed_pretrained_model \
-      "$@" | tee ${EXP_DIR}/train_output.txt
+      "$@" | tee -a ${EXP_DIR}/train_output.txt
 else
   EXP_DIR=${EXP_DIR:-output/synthhard_latefusion/}
   mkdir -p ${EXP_DIR}

@@ -31,4 +31,4 @@ python -u -m dfvod_tpu.cli.main \
     --train_short_sides 224 256 288 320 \
     --eval_short_side 256 \
     --max_size 512 \
-    "$@" | tee ${EXP_DIR}/train_output.txt
+    "$@" | tee -a ${EXP_DIR}/train_output.txt

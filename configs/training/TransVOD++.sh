@@ -24,4 +24,4 @@ python -u -m dfvod_tpu.cli.main_multi \
     --weight_decay 2e-5 \
     ${SPATIAL_WEIGHTS:+--spatial_weights ${SPATIAL_WEIGHTS}} \
     ${TRANSVOD_TEMPORAL_WEIGHTS:+--transvod_temporal_weights ${TRANSVOD_TEMPORAL_WEIGHTS}} \
-    "$@" | tee ${EXP_DIR}/train_output.txt
+    "$@" | tee -a ${EXP_DIR}/train_output.txt

@@ -28,4 +28,4 @@ python -u -m dfvod_tpu.cli.main_multi \
     ${DFORMER_WEIGHTS:+--dformer_weights ${DFORMER_WEIGHTS}} \
     ${SPATIAL_WEIGHTS:+--spatial_weights ${SPATIAL_WEIGHTS}} \
     ${TRANSVOD_TEMPORAL_WEIGHTS:+--transvod_temporal_weights ${TRANSVOD_TEMPORAL_WEIGHTS}} \
-    "$@" | tee ${EXP_DIR}/train_output.txt
+    "$@" | tee -a ${EXP_DIR}/train_output.txt

@@ -31,6 +31,12 @@ from dfvod_tpu.utils.logging import (
     setup_for_distributed,
 )
 
+# Deliberate NaN-divergence hard-exit code. The reference uses
+# ``sys.exit(1)`` (``engine_single.py:56-59``), but rc=1 is also what any
+# unhandled Python exception produces; a distinct code lets run
+# supervisors retry transient crashes while aborting only on divergence.
+NAN_EXIT_CODE = 42
+
 
 def maybe_init_distributed():
     """``init_distributed_mode`` parity (``util/misc.py:441-479``): the
@@ -215,6 +221,25 @@ def train_loop(cfg, *, video: bool = False, resume: str = "",
     wandb = WandbLogger(wandb_enabled, config={"cfg": str(cfg)})
     rng = jax.random.PRNGKey(cfg.train.seed + 1)
 
+    # Background liveness heartbeat: a single XLA compile longer than a
+    # supervisor's --stall window produces zero output while in flight
+    # (the post-step print at the bottom of the loop lands only after the
+    # step returns), which is exactly how round 4's joint-OID launch was
+    # stall-killed mid-compile. A daemon thread prints every 2 min while
+    # no foreground progress line has landed, so stall detectors see
+    # liveness through arbitrarily long compiles.
+    import threading
+    hb = {"t": time.time(), "msg": "startup"}
+
+    def _heartbeat():
+        while True:
+            time.sleep(120)
+            dt = time.time() - hb["t"]
+            if dt > 90:
+                print(f"[heartbeat] alive: {hb['msg']} in flight "
+                      f"{dt:.0f}s (likely XLA compile)", flush=True)
+    threading.Thread(target=_heartbeat, daemon=True).start()
+
     # warm the eval-shape program before the epoch loop so the first
     # --eval_every eval doesn't pay a mid-run XLA compile (round-3 logs:
     # 37.0s first eval batch vs 2.6s steady state). One forward on the
@@ -224,6 +249,7 @@ def train_loop(cfg, *, video: bool = False, resume: str = "",
         from dfvod_tpu.train.engine import make_eval_step
         wb = val_loader.first_batch()
         tw = time.time()
+        hb["t"], hb["msg"] = tw, "eval-shape warm-up"
         fwd = make_eval_step(model)
         jax.block_until_ready(fwd(
             state.variables, wb["image"],
@@ -253,7 +279,10 @@ def train_loop(cfg, *, video: bool = False, resume: str = "",
                 print(f"profile written to {profile_dir}")
             step_idx += 1
             t_step = time.time()
+            hb["t"] = t_step
+            hb["msg"] = f"train step {step_idx - 1} (epoch {epoch})"
             state, metrics = step_fn(state, to_batch(sample), rng)
+            hb["t"] = time.time()
             loss = float(metrics["loss"])
             if time.time() - t_step > 60:
                 # compile-heavy step: emit a line so stall-detecting
@@ -263,10 +292,15 @@ def train_loop(cfg, *, video: bool = False, resume: str = "",
                 print(f"step {step_idx - 1}: {time.time() - t_step:.0f}s "
                       "(XLA compile)", flush=True)
             if not np.isfinite(loss):
-                # NaN hard-exit (``engine_single.py:56-59``)
+                # NaN hard-exit (``engine_single.py:56-59``). Exit code
+                # 42 is deliberately distinct from the generic rc=1 any
+                # unhandled Python exception produces, so supervisors
+                # (scripts/supervise.py) can retry crashes while treating
+                # genuine divergence as fatal (round-4 postmortem: a
+                # FileNotFoundError was misread as NaN and not retried).
                 print(f"Loss is {loss}, stopping training")
                 print({k: float(v) for k, v in metrics.items()})
-                sys.exit(1)
+                sys.exit(NAN_EXIT_CODE)
             logger.update(loss=loss,
                           grad_norm=float(metrics["grad_norm"]),
                           loss_ce=float(metrics.get("loss_ce", 0.0)),
@@ -282,8 +316,10 @@ def train_loop(cfg, *, video: bool = False, resume: str = "",
         # evaluates every epoch, ``main.py:587-600``)
         ev = cfg.train.eval_every
         if ev and ((epoch + 1) % ev == 0 or epoch + 1 == cfg.train.epochs):
+            hb["t"], hb["msg"] = time.time(), f"eval after epoch {epoch}"
             val_stats = evaluate(model, state.variables, val_loader,
                                  val_ds.coco, frames=frames)
+            hb["t"] = time.time()
             stats.update({f"test_{k}": v for k, v in val_stats.items()})
             if val_stats.get("mAP_50", 0.0) > best_map50:
                 best_map50 = val_stats["mAP_50"]

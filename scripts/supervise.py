@@ -16,8 +16,12 @@ forfeit. This wrapper converts those losses into a bounded restart:
   continues from the last per-epoch checkpoint with the optimizer state
   and best-mAP watermark intact;
 - a non-zero exit also triggers a relaunch (capped by ``--max_restarts``)
-  EXCEPT rc=1, the deliberate NaN hard-exit (``engine_single.py:56-59``
-  parity) — retrying a NaN loss would just re-diverge;
+  EXCEPT rc=42, the deliberate NaN hard-exit code emitted by
+  ``dfvod_tpu/cli/main.py`` (``engine_single.py:56-59`` parity) —
+  retrying a NaN loss would just re-diverge. Plain rc=1 (any unhandled
+  Python exception; pipefail propagates it through the bash config
+  wrappers) IS retried: round 4 lost a chain step when a transient
+  ``FileNotFoundError`` was misclassified as NaN divergence;
 - ``--deadline`` bounds the total wall time (like ``timeout`` but
   restart-aware); on expiry the child is killed and we exit 124.
 
@@ -32,6 +36,10 @@ import subprocess
 import sys
 import threading
 import time
+
+# must match dfvod_tpu.cli.main.NAN_EXIT_CODE (not imported: this script
+# runs before any jax import and must stay dependency-free)
+NAN_EXIT_CODE = 42
 
 
 def _kill_group(proc: subprocess.Popen) -> None:
@@ -115,10 +123,10 @@ def main():
             sys.exit(124)
         if why == "ok" and rc == 0:
             sys.exit(0)
-        if why == "ok" and rc == 1:
-            print("[supervise] child exited rc=1 (NaN hard-exit parity) — "
+        if why == "ok" and rc == NAN_EXIT_CODE:
+            print(f"[supervise] child exited rc={rc} (NaN hard-exit) — "
                   "not retrying", flush=True)
-            sys.exit(1)
+            sys.exit(rc)
         if attempt > a.max_restarts:
             print(f"[supervise] giving up after {attempt} attempts "
                   f"(last rc={rc}, reason={why})", flush=True)

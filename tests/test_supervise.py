@@ -41,10 +41,21 @@ class TestSupervise:
         assert r.stdout.splitlines().count("start") == 2
 
     def test_nan_exit_not_retried(self):
-        r = run(["--stall", "30", "--", "sh", "-c", "echo nan; exit 1"])
-        assert r.returncode == 1
+        # rc=42 is the deliberate divergence code
+        # (dfvod_tpu.cli.main.NAN_EXIT_CODE)
+        r = run(["--stall", "30", "--", "sh", "-c", "echo nan; exit 42"])
+        assert r.returncode == 42
         assert r.stdout.splitlines().count("nan") == 1
         assert "NaN hard-exit" in r.stdout
+
+    def test_rc1_crash_is_retried(self):
+        # plain rc=1 (any unhandled Python exception) must be retried —
+        # round 4 lost a chain step to a FileNotFoundError misread as NaN
+        r = run(["--stall", "30", "--max_restarts", "2", "--",
+                 "sh", "-c", "echo oops; exit 1"])
+        assert r.returncode == 1
+        assert r.stdout.splitlines().count("oops") == 3
+        assert "NaN hard-exit" not in r.stdout
 
     def test_crash_is_retried(self):
         r = run(["--stall", "30", "--max_restarts", "2", "--",
