@@ -121,12 +121,42 @@ class Bottleneck(nn.Module):
             self.downsample_bn = self.norm(p * 4)
 
     def __call__(self, x):
+        from dfvod_tpu.ops import quant
+        if quant.enabled() and self.norm is FrozenBatchNorm:
+            return self._int8_call(x)
         identity = x
         out = jax.nn.relu(self.bn1(self.conv1(x)))
         out = jax.nn.relu(self.bn2(self.conv2(out)))
         out = self.bn3(self.conv3(out))
         if self.downsample:
             identity = self.downsample_bn(self.downsample_conv(x))
+        return jax.nn.relu(out + identity)
+
+    def _int8_call(self, x):
+        """W8A8 serving path (``ops/quant.py``): FrozenBN folded into the
+        conv weights, per-output-channel int8 weight scales, dynamic
+        per-tensor activation scales, int32 MXU accumulation. Semantics
+        identical to the f32 path up to quantization error (bounded by
+        the parity test in ``tests/test_quant.py``)."""
+        from dfvod_tpu.ops import quant
+
+        def qcv(inp, cv, bn, stride=1, dilation=1):
+            s, b = bn.fold()
+            w = cv.weight.astype(jnp.float32) * s
+            pad = dilation * (cv.kernel - 1) // 2
+            y = quant.conv_int8(inp, w, (stride, stride),
+                                ((pad, pad), (pad, pad)),
+                                (dilation, dilation))
+            return y + b.astype(y.dtype)
+
+        identity = x
+        out = jax.nn.relu(qcv(x, self.conv1, self.bn1))
+        out = jax.nn.relu(qcv(out, self.conv2, self.bn2, self.stride,
+                              self.dilation))
+        out = qcv(out, self.conv3, self.bn3)
+        if self.downsample:
+            identity = qcv(x, self.downsample_conv, self.downsample_bn,
+                           self.stride)
         return jax.nn.relu(out + identity)
 
     def folded_weights(self, dtype):

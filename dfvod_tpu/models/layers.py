@@ -43,6 +43,31 @@ def dense(features: int, name: Optional[str] = None,
                     bias_init=nn.initializers.zeros)
 
 
+class QDense(nn.Module):
+    """Drop-in ``nn.Dense`` (identical param tree: kernel (K,N) + bias)
+    that runs W8A8 int8 when ``ops/quant.int8_mode`` is active at trace
+    time. The default path replicates flax Dense exactly (promote dtypes,
+    dot_general, bias add) so swapping a call site cannot move parity."""
+    features: int
+    kernel_init: nn.initializers.Initializer = xavier_uniform
+
+    @nn.compact
+    def __call__(self, x):
+        from flax.linen.dtypes import promote_dtype
+
+        from dfvod_tpu.ops import quant
+        kernel = self.param("kernel", self.kernel_init,
+                            (x.shape[-1], self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        if quant.enabled():
+            return quant.dense_int8(x, kernel, bias)
+        x, kernel, bias = promote_dtype(x, kernel, bias, dtype=None)
+        y = jax.lax.dot_general(
+            x, kernel, (((x.ndim - 1,), (0,)), ((), ())))
+        return y + jnp.reshape(bias, (1,) * (y.ndim - 1) + (-1,))
+
+
 def _sampling_offset_bias_init(n_heads: int, n_levels: int, n_points: int):
     """Ring-of-directions bias init (``ms_deform_attn.py:62-70``)."""
     thetas = np.arange(n_heads, dtype=np.float32) * (2.0 * math.pi / n_heads)
@@ -185,10 +210,13 @@ class FFN(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
-        h = dense(self.d_ffn, name="linear1")(x)
+        # QDense: identical to nn.Dense, plus the int8 serving path when
+        # ``ops/quant.int8_mode`` is active (never during training — the
+        # mode is enabled only by serving/bench entry points).
+        h = QDense(self.d_ffn, name="linear1")(x)
         h = ACTIVATIONS[self.activation](h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = dense(self.d_model, name="linear2")(h)
+        h = QDense(self.d_model, name="linear2")(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         return nn.LayerNorm(name="norm", epsilon=1e-5)(x + h)
 

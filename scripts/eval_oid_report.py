@@ -44,6 +44,10 @@ def main():
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (the axon plugin ignores "
                         "JAX_PLATFORMS; see .claude/skills/verify)")
+    p.add_argument("--int8", action="store_true",
+                   help="serve with W8A8 int8 (ops/quant.py) — measures "
+                        "the accuracy drift side of the round-5 int8 "
+                        "probe")
     a = p.parse_args()
 
     from dfvod_tpu.utils.jax_cache import enable_persistent_cache
@@ -87,6 +91,12 @@ def main():
         "model_state", {})}
 
     fwd = make_eval_step(model)
+    if a.int8:
+        # trace-time switch: set before the first fwd call traces so the
+        # whole eval program is quantized
+        from dfvod_tpu.ops import quant
+        quant.set_mode("int8")
+        print("serving mode: int8 (W8A8, ops/quant.py)")
     evaluator = COCOEvaluator(val_ds.coco)
     per_image = {}
     for batch in loader:

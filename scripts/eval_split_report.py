@@ -36,7 +36,14 @@ def main():
     p.add_argument("--short_side", type=int, default=256)
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--int8", action="store_true",
+                   help="serve with W8A8 int8 (ops/quant.py) — accuracy "
+                        "drift side of the round-5 int8 probe")
     a = p.parse_args()
+    if a.int8:
+        from dfvod_tpu.ops import quant
+        quant.set_mode("int8")
+        print("serving mode: int8 (W8A8, ops/quant.py)")
 
     from dfvod_tpu.utils.jax_cache import enable_persistent_cache
     enable_persistent_cache()

@@ -186,10 +186,26 @@ def make_video(rng, vid, img_id0, ann_id0, img_dir, depth_dir,
 
         frame_anns = []
         erase_frame = degrade == "erase" and f % 2 == 0
+        alpha_frame = degrade == "alpha" and f % 2 == 0
         for stamp, size, pos, vel, col in hands:
             t, le = int(pos[0] + f * vel[0]), int(pos[1] + f * vel[1])
             near = 0.6 + 0.35 * (size - 40) / 50.0
-            if erase_frame:
+            if alpha_frame:
+                # partial-evidence degrade (round 5, VERDICT r4 task 5):
+                # the hand is alpha-blended at 15-30% contrast in RGB and
+                # equally attenuated in depth on even frames — weak but
+                # NONZERO single-frame evidence, and no occluder object
+                # to leak the box. This fills the measured gap between
+                # the bar-occluder sets (single-frame 0.842 — the bar IS
+                # the evidence) and full erasure (0.004 — physics floor):
+                # the regime where temporal aggregation over clean
+                # neighbors has both headroom and a recoverable key.
+                c2, d2 = np.array(canvas), np.array(depth)
+                box = paint(c2, d2, stamp, t, le, col, near)
+                a = rng.uniform(0.15, 0.30)
+                canvas[:] = (1.0 - a) * canvas + a * c2
+                depth[:] = (1.0 - a) * depth + a * d2
+            elif erase_frame:
                 # full occlusion: the hand is NOT rendered (RGB or depth)
                 # on even frames, but its clean-geometry box is kept —
                 # zero single-frame signal, full +-1-neighbor signal.
@@ -279,6 +295,12 @@ if __name__ == "__main__":
                         "geometry. Single-frame mAP on degraded keys has "
                         "no signal at all; temporal models recover from "
                         "the clean odd neighbors (synth_rgbd_erase)")
+    p.add_argument("--alpha_erase", action="store_true",
+                   help="partial-evidence degrade (round 5): even frames "
+                        "alpha-blend the hands at 15-30% contrast in RGB "
+                        "and depth — weak-but-nonzero single-frame "
+                        "evidence, no occluder to leak "
+                        "(synth_rgbd_alpha)")
     p.add_argument("--degrade", action="store_true",
                    help="corrupt even frames (motion blur + near-depth "
                         "occluders); the synth_rgbd_hard variant where "
@@ -289,5 +311,7 @@ if __name__ == "__main__":
                         "near-uninformative (synth_rgbd_hard2 — the "
                         "headroom the temporal-win experiment needs)")
     a = p.parse_args()
+    mode = ("erase" if a.erase else
+            "alpha" if a.alpha_erase else a.degrade)
     main(a.out, a.seed, a.train_videos, a.val_videos,
-         degrade="erase" if a.erase else a.degrade, hard=a.hard)
+         degrade=mode, hard=a.hard)

@@ -76,3 +76,51 @@ class TestEraseMode:
             if depth.max() > 230:
                 hit += 1
         assert hit >= 2
+
+
+class TestAlphaMode:
+    """Partial-evidence alpha degrade (round 5): even frames carry the
+    hands at 15-30% contrast — strictly between background (erase) and
+    full rendering (clean)."""
+
+    def test_even_frames_attenuated_not_erased(self, tmp_path):
+        root, ds = _build(tmp_path, degrade="alpha")
+        even_peaks, odd_peaks = [], []
+        for im in ds["train"]["images"]:
+            depth = np.asarray(Image.open(
+                root / "depth_pred" / im["file_name"]).convert("L"),
+                np.float32)
+            anns = [a for a in ds["train"]["annotations"]
+                    if a["image_id"] == im["id"]]
+            if not anns:
+                continue
+            boxes = np.array([a["bbox"] for a in anns])
+            peak = max(depth[int(y):int(y + h), int(x):int(x + w)].max()
+                       for x, y, w, h in boxes)
+            (even_peaks if im["frame_id"] % 2 == 0 else
+             odd_peaks).append(peak)
+        assert len(even_peaks) >= 3 and len(odd_peaks) >= 3
+        # odd (clean) frames: full hand depth (>120, as in erase test);
+        # even frames: visibly attenuated below clean but above the
+        # erase-mode background ceiling — evidence present but weak
+        assert min(odd_peaks) > 120
+        assert max(even_peaks) < min(odd_peaks)
+        assert np.mean(even_peaks) > 95  # not erased to background
+
+    def test_boxes_on_both_parities(self, tmp_path):
+        _, ds = _build(tmp_path, degrade="alpha")
+        by_id = {im["id"]: im for im in ds["train"]["images"]}
+        parities = {by_id[a["image_id"]]["frame_id"] % 2
+                    for a in ds["train"]["annotations"]}
+        assert parities == {0, 1}
+
+    def test_no_occluder_leak(self, tmp_path):
+        # alpha mode must add NO bright occluder bar (depth ~250) —
+        # nothing in the frame may exceed the clean hand ceiling
+        root, ds = _build(tmp_path, degrade="alpha")
+        for im in ds["train"]["images"]:
+            if im["frame_id"] % 2 != 0:
+                continue
+            depth = np.asarray(Image.open(
+                root / "depth_pred" / im["file_name"]).convert("L"))
+            assert depth.max() < 230, im["file_name"]
