@@ -113,7 +113,10 @@ class MSDeformAttn(nn.Module):
         B, Lq, _ = query.shape
         S = input_flatten.shape[1]
 
-        value = dense(self.d_model, name="value_proj")(input_flatten)
+        # QDense: int8-capable in serving mode (ops/quant.py); the
+        # sampling_offsets/attention_weights heads stay full precision
+        # (tiny matmuls whose outputs feed coordinate math).
+        value = QDense(self.d_model, name="value_proj")(input_flatten)
         if input_padding_mask is not None:
             value = jnp.where(input_padding_mask[..., None], 0.0, value)
         value = value.reshape(B, S, M, D)
@@ -145,7 +148,7 @@ class MSDeformAttn(nn.Module):
 
         out = ms_deform_attn(value, tuple(spatial_shapes), loc, attw,
                              impl=self.impl)
-        return dense(self.d_model, name="output_proj")(out)
+        return QDense(self.d_model, name="output_proj")(out)
 
 
 class MultiHeadAttention(nn.Module):
