@@ -1,16 +1,18 @@
 #!/bin/bash
-# Round-5 queue B — runs AFTER run_round5_queue.sh (the OID chain):
-#   1. temporal clean-key gap (VERDICT r4 task 4): stage-2 TransVOD++
-#      with the trunk UNFROZEN (FREEZE=off -> the reference's
-#      coco_pretrain train-everything path, main_multi.py:380-386 being
-#      only the freeze branch) on clean synth_rgbd — target: video
-#      within ~5 pts of single-frame on clean keys;
-#   2. partial-evidence temporal design (task 5): synth_rgbd_alpha
+# Round-5 queue B — runs AFTER run_round5_queue.sh (the OID chain).
+# Ordered by verdict priority so a wall-clock cut costs the least:
+#   1. int8 serving probe (VERDICT r4 task 3): micro + in-model speed,
+#      then mAP drift on the OID checkpoint — the first genuinely new
+#      perf axis after four flat serving rounds;
+#   2. temporal clean-key gap (task 4): stage-2 TransVOD++ with the
+#      trunk UNFROZEN (FREEZE=off -> the reference's coco_pretrain
+#      train-everything path; main_multi.py:380-386 is only the freeze
+#      branch) on clean synth_rgbd — target: video within ~5 pts of
+#      single-frame on clean keys;
+#   3. partial-evidence temporal design (task 5): synth_rgbd_alpha
 #      (hands alpha-blended 15-30% on even frames, no occluder leak),
 #      stage 1 + unfrozen stage 2 + split evals — the middle rung of
 #      ACCURACY.md's three-design ladder;
-#   3. int8 serving probe (task 3): micro + in-model speed, then mAP
-#      drift on the synth and OID checkpoints;
 #   4. final bench.py.
 set -x
 set -o pipefail
@@ -31,7 +33,15 @@ step() { # step <name> <deadline_s> <cmd...>
   fi
 }
 
-# ---- 1. clean-key gap: unfrozen stage 2 on clean synth_rgbd ----
+# ---- 1. int8 probe: speed first (also a fast go/no-go on whether this
+# toolchain lowers int8 conv/dot to the MXU at all), then OID drift ----
+step int8_bench 3000 \
+  python scripts/bench_int8_serving.py
+
+step int8_drift_oid 1500 \
+  python scripts/eval_oid_report.py --resume output/oid_joint/best --int8
+
+# ---- 2. clean-key gap: unfrozen stage 2 on clean synth_rgbd ----
 step clean_stage1 4800 \
   env EPOCHS=30 COCO_PATH=datasets/synth_rgbd \
   EXP_DIR=output/synth_latefusion/ \
@@ -53,7 +63,12 @@ step clean_split_video_unfrozen 1500 \
     --coco_path datasets/synth_rgbd \
     --temporal_mode transvod_pp --num_ref_frames 2
 
-# ---- 2. partial-evidence (alpha) chain ----
+step int8_drift_synth 1500 \
+  python scripts/eval_split_report.py \
+    --resume output/synth_latefusion/best \
+    --coco_path datasets/synth_rgbd --int8
+
+# ---- 3. partial-evidence (alpha) chain ----
 python scripts/make_synth_rgbd.py datasets/synth_rgbd_alpha --alpha_erase \
   2>&1 | tee logs_r5/gen_alpha.log
 
@@ -78,18 +93,6 @@ step alpha_split_video 1500 \
     --resume output/alpha_transvod_pp/best \
     --coco_path datasets/synth_rgbd_alpha \
     --temporal_mode transvod_pp --num_ref_frames 2
-
-# ---- 3. int8 probe (speed, then accuracy drift) ----
-step int8_bench 3000 \
-  python scripts/bench_int8_serving.py
-
-step int8_drift_synth 1500 \
-  python scripts/eval_split_report.py \
-    --resume output/synth_latefusion/best \
-    --coco_path datasets/synth_rgbd --int8
-
-step int8_drift_oid 1500 \
-  python scripts/eval_oid_report.py --resume output/oid_joint/best --int8
 
 # ---- 4. final bench ----
 step bench_final 3000 \
