@@ -61,7 +61,7 @@ step oid_overlays 1500 \
 # ---- seed repeats (spread estimate) ----
 for SEED in 7 1234; do
   step oid_joint_s${SEED} 6000 \
-    env EPOCHS=35 EXP_DIR=output/oid_joint_s${SEED}/ \
+    env EPOCHS=25 EXP_DIR=output/oid_joint_s${SEED}/ \
     bash configs/training/OID_Joint.sh --seed ${SEED} --auto_resume
   step oid_joint_s${SEED}_eval 1500 \
     python scripts/eval_oid_report.py --resume output/oid_joint_s${SEED}/best
@@ -69,7 +69,7 @@ done
 
 # ---- RGB-only ablation (explicit USE_DEPTH=off contract) ----
 step oid_joint_baseline 6000 \
-  env EPOCHS=35 FUSION=Baseline USE_DEPTH=off EXP_DIR=output/oid_joint_baseline/ \
+  env EPOCHS=25 FUSION=Baseline USE_DEPTH=off EXP_DIR=output/oid_joint_baseline/ \
   bash configs/training/OID_Joint.sh --auto_resume
 step oid_joint_baseline_eval 1500 \
   python scripts/eval_oid_report.py --resume output/oid_joint_baseline/best \

@@ -41,6 +41,18 @@ step int8_bench 3000 \
 step int8_drift_oid 1500 \
   python scripts/eval_oid_report.py --resume output/oid_joint/best --int8
 
+# ---- 1b. north-star stretch: fine-tune the joint model on the 20 real
+# photos (round-3's winning recipe, warm-started from the joint best —
+# strictly more real-photo exposure than round-3's synth-only pretrain,
+# whose peak 0.217 came from the same 400-epoch noisy plateau) ----
+step oid_finetune2 5400 \
+  env EPOCHS=200 EXP_DIR=output/oid_finetune2/ \
+  bash configs/training/OID_LateFusion.sh --resume output/oid_joint/best \
+    --lr 5e-5 --strong_aug --eval_every 10 --auto_resume
+
+step oid_finetune2_eval 1500 \
+  python scripts/eval_oid_report.py --resume output/oid_finetune2/best
+
 # ---- 2. clean-key gap: unfrozen stage 2 on clean synth_rgbd ----
 step clean_stage1 4800 \
   env EPOCHS=30 COCO_PATH=datasets/synth_rgbd \
