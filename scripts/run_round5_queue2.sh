@@ -41,17 +41,6 @@ step int8_bench 3000 \
 step int8_drift_oid 1500 \
   python scripts/eval_oid_report.py --resume output/oid_joint/best --int8
 
-# ---- 1b. north-star stretch: fine-tune the joint model on the 20 real
-# photos (round-3's winning recipe, warm-started from the joint best —
-# strictly more real-photo exposure than round-3's synth-only pretrain,
-# whose peak 0.217 came from the same 400-epoch noisy plateau) ----
-step oid_finetune2 5400 \
-  env EPOCHS=200 EXP_DIR=output/oid_finetune2/ \
-  bash configs/training/OID_LateFusion.sh --resume output/oid_joint/best \
-    --lr 5e-5 --strong_aug --eval_every 10 --auto_resume
-
-step oid_finetune2_eval 1500 \
-  python scripts/eval_oid_report.py --resume output/oid_finetune2/best
 
 # ---- 2. clean-key gap: unfrozen stage 2 on clean synth_rgbd ----
 step clean_stage1 4800 \
@@ -64,7 +53,7 @@ step clean_split_single 1500 \
     --resume output/synth_latefusion/best --coco_path datasets/synth_rgbd
 
 step clean_stage2_unfrozen 6000 \
-  env STAGE=video FREEZE=off EPOCHS=60 COCO_PATH=datasets/synth_rgbd \
+  env STAGE=video FREEZE=off EPOCHS=40 COCO_PATH=datasets/synth_rgbd \
   EXP_DIR=output/synth_transvodpp_unfrozen/ \
   SPATIAL_WEIGHTS=output/synth_latefusion/ \
   bash configs/training/SynthHard_Temporal.sh --eval_every 3 --auto_resume
@@ -85,7 +74,7 @@ python scripts/make_synth_rgbd.py datasets/synth_rgbd_alpha --alpha_erase \
   2>&1 | tee logs_r5/gen_alpha.log
 
 step alpha_stage1 4800 \
-  env EPOCHS=30 COCO_PATH=datasets/synth_rgbd_alpha \
+  env EPOCHS=25 COCO_PATH=datasets/synth_rgbd_alpha \
   EXP_DIR=output/alpha_latefusion/ \
   bash configs/training/SynthHard_Temporal.sh --eval_every 5 --auto_resume
 
@@ -95,7 +84,7 @@ step alpha_split_single 1500 \
     --coco_path datasets/synth_rgbd_alpha
 
 step alpha_stage2_unfrozen 6000 \
-  env STAGE=video FREEZE=off EPOCHS=45 COCO_PATH=datasets/synth_rgbd_alpha \
+  env STAGE=video FREEZE=off EPOCHS=30 COCO_PATH=datasets/synth_rgbd_alpha \
   EXP_DIR=output/alpha_transvod_pp/ \
   SPATIAL_WEIGHTS=output/alpha_latefusion/ \
   bash configs/training/SynthHard_Temporal.sh --eval_every 3 --auto_resume
@@ -106,8 +95,22 @@ step alpha_split_video 1500 \
     --coco_path datasets/synth_rgbd_alpha \
     --temporal_mode transvod_pp --num_ref_frames 2
 
-# ---- 4. final bench ----
+# ---- 4. final bench BEFORE the stretch goal so the headline
+# artifact exists even if the round ends mid-finetune ----
 step bench_final 3000 \
   python bench.py
+
+# ---- 5. stretch (drop-if-no-time): joint->real-photo finetune ----
+# north-star stretch: fine-tune the joint model on the 20 real
+# photos (round-3's winning recipe, warm-started from the joint best —
+# strictly more real-photo exposure than round-3's synth-only pretrain,
+# whose peak 0.217 came from the same 400-epoch noisy plateau) ----
+step oid_finetune2 5400 \
+  env EPOCHS=200 EXP_DIR=output/oid_finetune2/ \
+  bash configs/training/OID_LateFusion.sh --resume output/oid_joint/best \
+    --lr 5e-5 --strong_aug --eval_every 10 --auto_resume
+
+step oid_finetune2_eval 1500 \
+  python scripts/eval_oid_report.py --resume output/oid_finetune2/best
 
 echo QUEUE_R5B_DONE
