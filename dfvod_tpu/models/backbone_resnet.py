@@ -137,10 +137,18 @@ class Bottleneck(nn.Module):
         conv weights, per-output-channel int8 weight scales, dynamic
         per-tensor activation scales, int32 MXU accumulation. Semantics
         identical to the f32 path up to quantization error (bounded by
-        the parity test in ``tests/test_quant.py``)."""
+        the parity test in ``tests/test_quant.py``).
+
+        Each conv self-describes with a ``conv{K}x{K}_c{Cin}`` seam tag
+        so a seam allowlist (``quant.set_mode(seams=...)``) can quantize
+        only the shapes the round-5 micros showed int8 wins on; untagged
+        convs fall back to the bf16 conv + FrozenBN path."""
         from dfvod_tpu.ops import quant
 
         def qcv(inp, cv, bn, stride=1, dilation=1):
+            tag = f"conv{cv.kernel}x{cv.kernel}_c{inp.shape[-1]}"
+            if not quant.enabled(tag):
+                return bn(cv(inp))
             s, b = bn.fold()
             w = cv.weight.astype(jnp.float32) * s
             pad = dilation * (cv.kernel - 1) // 2

@@ -50,6 +50,7 @@ class QDense(nn.Module):
     dot_general, bias add) so swapping a call site cannot move parity."""
     features: int
     kernel_init: nn.initializers.Initializer = xavier_uniform
+    tag: str = "dense"
 
     @nn.compact
     def __call__(self, x):
@@ -60,7 +61,7 @@ class QDense(nn.Module):
                             (x.shape[-1], self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), jnp.float32)
-        if quant.enabled():
+        if quant.enabled(self.tag):
             return quant.dense_int8(x, kernel, bias)
         x, kernel, bias = promote_dtype(x, kernel, bias, dtype=None)
         y = jax.lax.dot_general(
@@ -116,7 +117,8 @@ class MSDeformAttn(nn.Module):
         # QDense: int8-capable in serving mode (ops/quant.py); the
         # sampling_offsets/attention_weights heads stay full precision
         # (tiny matmuls whose outputs feed coordinate math).
-        value = QDense(self.d_model, name="value_proj")(input_flatten)
+        value = QDense(self.d_model, name="value_proj",
+                       tag="proj")(input_flatten)
         if input_padding_mask is not None:
             value = jnp.where(input_padding_mask[..., None], 0.0, value)
         value = value.reshape(B, S, M, D)
@@ -148,7 +150,7 @@ class MSDeformAttn(nn.Module):
 
         out = ms_deform_attn(value, tuple(spatial_shapes), loc, attw,
                              impl=self.impl)
-        return QDense(self.d_model, name="output_proj")(out)
+        return QDense(self.d_model, name="output_proj", tag="proj")(out)
 
 
 class MultiHeadAttention(nn.Module):
@@ -216,10 +218,10 @@ class FFN(nn.Module):
         # QDense: identical to nn.Dense, plus the int8 serving path when
         # ``ops/quant.int8_mode`` is active (never during training — the
         # mode is enabled only by serving/bench entry points).
-        h = QDense(self.d_ffn, name="linear1")(x)
+        h = QDense(self.d_ffn, name="linear1", tag="ffn")(x)
         h = ACTIVATIONS[self.activation](h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = QDense(self.d_model, name="linear2")(h)
+        h = QDense(self.d_model, name="linear2", tag="ffn")(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         return nn.LayerNorm(name="norm", epsilon=1e-5)(x + h)
 

@@ -37,29 +37,56 @@ import contextlib
 import jax
 import jax.numpy as jnp
 
-_STATE = {"mode": ""}
+_STATE = {"mode": "", "seams": None}
 
 
-def enabled() -> bool:
-    """True when int8 serving mode is active (trace-time check)."""
-    return _STATE["mode"] == "int8"
+def _match(tag: str, seams) -> bool:
+    """Tag matcher for the seam allowlist. Entries are exact tags
+    (``"ffn"``, ``"conv3x3_c128"``) or ``*``-suffixed prefixes
+    (``"conv3x3*"``)."""
+    for s in seams:
+        if s.endswith("*"):
+            if tag.startswith(s[:-1]):
+                return True
+        elif tag == s:
+            return True
+    return False
 
 
-def set_mode(mode: str) -> None:
+def enabled(tag: str | None = None) -> bool:
+    """True when int8 serving mode is active (trace-time check).
+
+    With a ``tag``, also consults the seam allowlist: the round-5 micro
+    probes showed int8 wins are shape-specific on this toolchain (big
+    matmuls 5.3x, layer2-shaped 3x3 convs 2.5x, but 1x1 and
+    layer3-shaped convs LOSE to the dynamic-quantize pass), so call
+    sites self-describe and the bench sweeps seam sets."""
+    if _STATE["mode"] != "int8":
+        return False
+    if tag is None or _STATE["seams"] is None:
+        return True
+    return _match(tag, _STATE["seams"])
+
+
+def set_mode(mode: str, seams=None) -> None:
     """Process-wide switch (``""`` or ``"int8"``) for script entry points
-    that quantize everything they trace from here on."""
+    that quantize everything they trace from here on. ``seams`` (optional
+    iterable of tags / ``*``-prefixes) restricts quantization to the
+    matching call sites; None quantizes every seam."""
     assert mode in ("", "int8"), mode
     _STATE["mode"] = mode
+    _STATE["seams"] = None if seams is None else frozenset(seams)
 
 
 @contextlib.contextmanager
-def int8_mode(on: bool = True):
-    prev = _STATE["mode"]
+def int8_mode(on: bool = True, seams=None):
+    prev = (_STATE["mode"], _STATE["seams"])
     _STATE["mode"] = "int8" if on else ""
+    _STATE["seams"] = None if seams is None else frozenset(seams)
     try:
         yield
     finally:
-        _STATE["mode"] = prev
+        _STATE["mode"], _STATE["seams"] = prev
 
 
 def quantize_weight(w, reduce_axes):
@@ -74,10 +101,27 @@ def quantize_weight(w, reduce_axes):
     return wq, s
 
 
+@contextlib.contextmanager
+def static_act_scale(scale: float):
+    """Speed-ceiling diagnostic: replace the dynamic per-tensor activation
+    max-reduction with a fixed scale (wrong numerics — bench only). It
+    isolates how much of the int8 path's cost is the quantize pass vs the
+    int8 op itself."""
+    prev = _STATE.get("act_scale")
+    _STATE["act_scale"] = float(scale)
+    try:
+        yield
+    finally:
+        _STATE["act_scale"] = prev
+
+
 def quantize_act(x):
     """Symmetric per-tensor dynamic int8 activations: ``(xq, scale)``."""
     xf = x.astype(jnp.float32)
-    s = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-6) / 127.0
+    if _STATE.get("act_scale") is not None:
+        s = jnp.float32(_STATE["act_scale"])
+    else:
+        s = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-6) / 127.0
     xq = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
     return xq, s
 

@@ -134,7 +134,48 @@ def micro_conv():
               f"{t_bf/t_i8:.2f}x", flush=True)
 
 
-def in_model(batch: int = 8):
+def micro_dense_ffn():
+    """Transformer FFN / projection-shaped dense at serving size
+    (B=8 x 7600 tokens, d=256): grounds the seam-sweep expectations."""
+    rng = np.random.default_rng(3)
+    shapes = [("ffn 256->1024", (60800, 256), (256, 1024)),
+              ("ffn 1024->256", (60800, 1024), (1024, 256)),
+              ("proj 256->256", (60800, 256), (256, 256))]
+    for name, xs, ws in shapes:
+        x16 = jnp.asarray(rng.standard_normal(xs) * 0.5, jnp.bfloat16)
+        w16 = jnp.asarray(rng.standard_normal(ws) * 0.1, jnp.bfloat16)
+        flops = 2 * xs[0] * ws[0] * ws[1]
+
+        def body_bf16(i, c, x16=x16, w16=w16):
+            return jnp.tanh(jnp.sum((
+                (x16 + c.astype(jnp.bfloat16)) @ w16
+            ).astype(jnp.float32))) * 1e-9
+
+        def body_int8(i, c, x16=x16, w16=w16):
+            y = quant.dense_int8(x16 + c.astype(jnp.bfloat16), w16)
+            return jnp.tanh(jnp.sum(y.astype(jnp.float32))) * 1e-9
+
+        t_bf = chain_time(body_bf16)
+        t_i8 = chain_time(body_int8)
+        print(f"micro dense {name}: bf16 {t_bf*1e3:.3f} ms "
+              f"({flops/t_bf/1e12:.1f} TF/s) | int8(W8A8 dyn) "
+              f"{t_i8*1e3:.3f} ms ({flops/t_i8/1e12:.1f} TOP/s) | "
+              f"speedup {t_bf/t_i8:.2f}x", flush=True)
+
+
+# Seam sets for the in-model sweep. "selective" = only the seams whose
+# micro probes showed int8 wins (big FFN/proj matmuls; layer2- and
+# layer4-shaped 3x3 convs); 1x1 and layer3-shaped convs stay bf16.
+SWEEP = [
+    ("int8-all", None, False),
+    ("ffn+proj", ("ffn", "proj"), False),
+    ("selective", ("ffn", "proj", "conv3x3_c128", "conv3x3_c512"), False),
+    ("selective+staticact(diag)",
+     ("ffn", "proj", "conv3x3_c128", "conv3x3_c512"), True),
+]
+
+
+def in_model(batch: int = 8, sweep: bool = False):
     cfg = ModelConfig(use_depth=True, fusion_type="LateFusion",
                       num_classes=3, dilation=True, with_box_refine=True,
                       compute_dtype="bfloat16")
@@ -160,12 +201,18 @@ def in_model(batch: int = 8):
         return body
 
     t_bf = chain_time(make_body(), iters=15)
-    with quant.int8_mode():
-        t_i8 = chain_time(make_body(), iters=15)
     print(f"in-model serving B={batch} {H}x{W} LateFusion: "
-          f"bf16 {t_bf*1e3:.2f} ms ({batch/t_bf:.1f} f/s) | "
-          f"int8 {t_i8*1e3:.2f} ms ({batch/t_i8:.1f} f/s) | "
-          f"speedup {t_bf/t_i8:.2f}x", flush=True)
+          f"bf16 {t_bf*1e3:.2f} ms ({batch/t_bf:.1f} f/s)", flush=True)
+    configs = SWEEP if sweep else [("int8-all", None, False)]
+    for label, seams, static in configs:
+        import contextlib
+        ctx = (quant.static_act_scale(0.05) if static
+               else contextlib.nullcontext())
+        with quant.int8_mode(seams=seams), ctx:
+            t_i8 = chain_time(make_body(), iters=15)
+        print(f"in-model serving B={batch} {label}: "
+              f"{t_i8*1e3:.2f} ms ({batch/t_i8:.1f} f/s) | "
+              f"speedup vs bf16 {t_bf/t_i8:.2f}x", flush=True)
 
 
 if __name__ == "__main__":
@@ -174,5 +221,9 @@ if __name__ == "__main__":
     if which in ("all", "micro"):
         micro_matmul()
         micro_conv()
+    if which in ("all", "micro", "sweep"):
+        micro_dense_ffn()
     if which in ("all", "model"):
         in_model()
+    if which == "sweep":
+        in_model(sweep=True)

@@ -48,6 +48,10 @@ def main():
                    help="serve with W8A8 int8 (ops/quant.py) — measures "
                         "the accuracy drift side of the round-5 int8 "
                         "probe")
+    p.add_argument("--int8_seams", default="",
+                   help="comma-separated seam allowlist for --int8 "
+                        "(e.g. 'ffn,proj,conv3x3_c128,conv3x3_c512'); "
+                        "empty = quantize every seam")
     a = p.parse_args()
 
     from dfvod_tpu.utils.jax_cache import enable_persistent_cache
@@ -95,8 +99,10 @@ def main():
         # trace-time switch: set before the first fwd call traces so the
         # whole eval program is quantized
         from dfvod_tpu.ops import quant
-        quant.set_mode("int8")
-        print("serving mode: int8 (W8A8, ops/quant.py)")
+        seams = tuple(a.int8_seams.split(",")) if a.int8_seams else None
+        quant.set_mode("int8", seams=seams)
+        print(f"serving mode: int8 (W8A8, ops/quant.py, "
+              f"seams={a.int8_seams or 'all'})")
     evaluator = COCOEvaluator(val_ds.coco)
     per_image = {}
     for batch in loader:

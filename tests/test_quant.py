@@ -163,3 +163,51 @@ class TestFullModelInt8:
         again = model.apply(v, imgs, mask, train=False)
         assert np.array_equal(np.asarray(again["pred_boxes"]),
                               np.asarray(ref["pred_boxes"]))
+
+
+class TestSeamPolicy:
+    """Round-5 selective-seam allowlist (``quant.enabled(tag)``)."""
+
+    def test_matcher_exact_and_prefix(self):
+        with quant.int8_mode(seams=("ffn", "conv3x3*")):
+            assert quant.enabled("ffn")
+            assert quant.enabled("conv3x3_c128")
+            assert quant.enabled("conv3x3_c512")
+            assert not quant.enabled("proj")
+            assert not quant.enabled("conv1x1_c256")
+            # untagged check = "is the mode on at all"
+            assert quant.enabled()
+        assert not quant.enabled("ffn")
+
+    def test_no_seams_means_all(self):
+        with quant.int8_mode():
+            assert quant.enabled("anything")
+
+    def test_selective_bottleneck_partial_quant(self):
+        """With only conv3x3 seams enabled, the 1x1 convs run the exact
+        bf16 path, so the block output differs from both full-int8 and
+        full-bf16 but stays within the (smaller) 3x3-only quant bound."""
+        from dfvod_tpu.models.backbone_resnet import Bottleneck
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.standard_normal((1, 8, 8, 64)), jnp.float32)
+        m = Bottleneck(in_features=64, planes=16, downsample=True)
+        v = m.init(jax.random.PRNGKey(0), x)
+        ref = m.apply(v, x)
+        with quant.int8_mode(seams=("conv3x3*",)):
+            got_sel = m.apply(v, x)
+        with quant.int8_mode():
+            got_all = m.apply(v, x)
+        assert rel_err(got_sel, ref) < 0.05
+        # selective path must actually differ from the all-int8 path
+        # (i.e. some convs really fell back to bf16)
+        assert not np.allclose(np.asarray(got_sel), np.asarray(got_all))
+        assert not np.allclose(np.asarray(got_sel), np.asarray(ref))
+
+    def test_static_act_scale_diagnostic(self):
+        rng = np.random.default_rng(8)
+        x = jnp.asarray(rng.standard_normal((5, 16)) * 0.01, jnp.float32)
+        w = jnp.asarray(rng.standard_normal((16, 8)) * 0.1, jnp.float32)
+        with quant.static_act_scale(0.05):
+            got = quant.dense_int8(x, w)
+        # fixed scale 0.05 over a ~0.01-magnitude input: coarse but finite
+        assert np.isfinite(np.asarray(got)).all()
