@@ -19,6 +19,7 @@ contiguous-shard split (``datasets/samplers.py:48-66``): each process takes
 """
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from typing import Iterator, List
@@ -88,6 +89,19 @@ class Loader:
         # stay in order and augmentation draws are deterministic per
         # (seed, epoch, rank, batch index) regardless of worker count.
         self.num_workers = num_workers
+        # DFVOD_BUCKET_LADDER="512,896": snap every padded dim UP to the
+        # nearest ladder rung instead of the 128-multiple bucket. The
+        # axon tunnel charges ~2-3.5 min per DISTINCT program (compile
+        # and cached-executable load cost the same through the remote
+        # PJRT client — measured round 5, logs_r5/oid_joint_s42.log: 14
+        # train-bucket programs, ~50 min of a 25-epoch run), so the
+        # strong-aug runs trade ~25% padded compute for an ~11x cut in
+        # program count. Padding is masked everywhere (attention masks,
+        # loss, evaluator use true sizes), so semantics are unchanged.
+        ladder = os.environ.get("DFVOD_BUCKET_LADDER", "")
+        self.bucket_ladder = (tuple(sorted(int(v) for v in
+                                           ladder.split(",")))
+                              if ladder else None)
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -106,8 +120,13 @@ class Loader:
         # one static bucket per batch: the max over frames, bucketed
         hs = [f.rgb.shape[0] for f in frames]
         ws = [f.rgb.shape[1] for f in frames]
-        ph, pw = bucket_shape(max(hs), max(ws), self.bucket_step,
-                              self.pad_cap)
+        if self.bucket_ladder:
+            snap = lambda v: next((s for s in self.bucket_ladder  # noqa
+                                   if v <= s), self.pad_cap)
+            ph, pw = snap(max(hs)), snap(max(ws))
+        else:
+            ph, pw = bucket_shape(max(hs), max(ws), self.bucket_step,
+                                  self.pad_cap)
         if self.device_preprocess:
             # write frames straight into the batch canvas (no per-frame
             # allocation, no np.stack copy — single-core host)

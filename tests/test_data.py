@@ -150,6 +150,29 @@ class TestLoader:
             assert b["image"].shape[0] == 3
             assert b["boxes"].shape == (3, 4, 4)
 
+
+    def test_bucket_ladder_env(self, coco_dir, monkeypatch):
+        """DFVOD_BUCKET_LADDER snaps padded dims up to ladder rungs
+        (program-count collapse for the tunnel's per-program cost); pad
+        is masked so only the canvas shape changes."""
+        root, ann = coco_dir
+        ds = CocoDetectionDataset(str(root), ann, use_depth=True)
+        monkeypatch.setenv("DFVOD_BUCKET_LADDER", "48,64")
+        loader = Loader(ds, EvalTransform(short_side=40, max_size=60),
+                        batch_size=3, max_boxes=4, use_depth=True,
+                        shuffle=False, bucket_step=32, pad_cap=96)
+        shapes = {b["image"].shape[1:3] for b in loader}
+        for h, w in shapes:
+            assert h in (48, 64) and w in (48, 64), shapes
+        # ladder off -> 32-multiples (the old bucket_shape behavior)
+        monkeypatch.delenv("DFVOD_BUCKET_LADDER")
+        loader2 = Loader(ds, EvalTransform(short_side=40, max_size=60),
+                        batch_size=3, max_boxes=4, use_depth=True,
+                        shuffle=False, bucket_step=32, pad_cap=96)
+        for b in loader2:
+            h, w = b["image"].shape[1:3]
+            assert h % 32 == 0 and w % 32 == 0
+
     def test_num_workers_batches_identical(self, coco_dir):
         """``num_workers`` parallel fetch yields bit-identical batches in
         the same order as the single-thread path — augmentation draws are
