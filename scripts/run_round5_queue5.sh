@@ -19,6 +19,11 @@ set -x
 set -o pipefail
 cd "$(dirname "$0")/.."
 export DFVOD_JAX_CACHE="$PWD/.jax_cache"
+# The ladder is opt-in (data/loader.py:101) and the tunnel charges
+# ~2.5 min per distinct program — without this the first queue-E
+# baseline launch paid 5 bucket compiles in 15 min before being killed
+# and relaunched.
+export DFVOD_BUCKET_LADDER=512,896
 mkdir -p logs_r5 output .sentinels
 
 for i in $(seq 1 30); do
